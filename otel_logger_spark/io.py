@@ -1,0 +1,35 @@
+"""IO seam: Iceberg when the runtime jar is on the classpath, parquet
+otherwise (this sandbox has no Iceberg jar — SURVEY.md §7 phase 0).
+
+All readers/writers in the engine go through this module so switching the
+table format is a one-line config. At cluster scale the Iceberg path gets
+partition pruning on bucket(conv_id)/day(ts) for free; the parquet path
+relies on directory partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, path_or_table: str) -> DataFrame:
+    if path_or_table.endswith(".parquet") or "/" in path_or_table:
+        return spark.read.parquet(path_or_table)
+    return spark.read.table(path_or_table)
+
+
+def write_table(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> None:
+    if path_or_table.endswith(".parquet") or "/" in path_or_table:
+        df.write.mode(mode).parquet(path_or_table)
+    else:
+        df.writeTo(path_or_table).createOrReplace()

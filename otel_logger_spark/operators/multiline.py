@@ -1,0 +1,140 @@
+"""Multiline coalescing (S4): merge continuation turns into logical entries.
+
+Reference: multilineLogIterator (/root/reference/main.go:395-455) — a
+sequential stateful scan. Rules:
+- empty lines are skipped entirely (never break an entry, main.go:425-427)
+- a line is a continuation if it matches the continuation pattern (default
+  ``^[ \\t]``, main.go:45) OR its trimmed form is one of ``]`` ``}`` ``],``
+  ``},`` (main.go:409-412)
+- continuations before any start line are orphans and dropped (main.go:446-447)
+- entries are joined with "\\n" (main.go:443-444)
+
+Spark-first formulation (scales to 10^12 turns, no per-row Python):
+the start predicate is stateless per row, so ``entry_id`` is a running sum
+of ``is_start`` over ``Window.partitionBy(conv_id).orderBy(turn_idx)``;
+orphans are ``entry_id == 0``; the join is a groupBy with an order-stable
+``array_sort(collect_list(struct(turn_idx, ...)))``. One shuffle on conv_id
+(reused by every downstream per-conversation op), all JVM-side.
+
+An ``applyInPandas`` variant mirrors the sequential Go loop for
+cross-checking (SURVEY.md §2.1 S4).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_CONTINUATION_PATTERN = r"^[ \t]"
+_BARE_CLOSERS = ("]", "}", "],", "},")
+
+
+def is_start_col(text=None, cont_pattern: str = DEFAULT_CONTINUATION_PATTERN):
+    """Stateless start-of-entry predicate (isLogEntryStart, main.go:397-416)."""
+    if text is None:
+        text = F.col("text")
+    return (
+        (F.length(text) > 0)
+        & ~text.rlike(cont_pattern)
+        & ~F.trim(text).isin(*_BARE_CLOSERS)
+    )
+
+
+def coalesce_entries(
+    df: DataFrame,
+    cont_pattern: str = DEFAULT_CONTINUATION_PATTERN,
+    group_cols: tuple[str, ...] = ("conv_id",),
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Window-based coalescer. Input: transcript columns; output one row per
+    logical entry: group_cols + turn_idx (of the start line), role, tool, ts
+    (of the start line), text (joined with \\n), n_lines.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nonempty = df.filter(F.length("text") > 0)  # main.go:425-427
+    tagged = nonempty.withColumn(
+        "_entry_id", F.sum(is_start_col(F.col("text"), cont_pattern).cast("int")).over(w)
+    )
+    entries = (
+        tagged.filter(F.col("_entry_id") > 0)  # drop orphans (main.go:446-447)
+        .groupBy(*group_cols, "_entry_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(order_col, "role", "text", "tool", "ts"))
+            ).alias("_lines")
+        )
+        .select(
+            *group_cols,
+            F.col("_lines")[0][order_col].alias(order_col),
+            F.col("_lines")[0]["role"].alias("role"),
+            F.concat_ws("\n", F.transform("_lines", lambda x: x["text"])).alias("text"),
+            F.col("_lines")[0]["tool"].alias("tool"),
+            F.col("_lines")[0]["ts"].alias("ts"),
+            F.size("_lines").alias("n_lines"),
+        )
+    )
+    return entries
+
+
+def coalesce_entries_pandas(
+    df: DataFrame,
+    cont_pattern: str = DEFAULT_CONTINUATION_PATTERN,
+    group_cols: tuple[str, ...] = ("conv_id",),
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Sequential per-conversation variant via applyInPandas — a direct
+    transcription of the Go loop's state machine, used to cross-check the
+    window formulation. Same output schema as coalesce_entries."""
+    pat = re.compile(cont_pattern)
+    gcols = list(group_cols)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        out = []
+        cur: list[dict] | None = None
+
+        def flush():
+            nonlocal cur
+            if cur:
+                first = cur[0]
+                out.append(
+                    {
+                        **{c: first[c] for c in gcols},
+                        order_col: first[order_col],
+                        "role": first["role"],
+                        "text": "\n".join(r["text"] for r in cur),
+                        "tool": first["tool"],
+                        "ts": first["ts"],
+                        "n_lines": len(cur),
+                    }
+                )
+                cur = None
+
+        for row in pdf.to_dict("records"):
+            line = row["text"]
+            if len(line) == 0:
+                continue
+            starts = (
+                not pat.search(line) and line.strip() not in _BARE_CLOSERS
+            )
+            if starts:
+                flush()
+                cur = [row]
+            elif cur is not None:
+                cur.append(row)
+        flush()
+        cols = gcols + [order_col, "role", "text", "tool", "ts", "n_lines"]
+        return pd.DataFrame(out, columns=cols)
+
+    schema = (
+        ", ".join(f"{c} string" for c in gcols)
+        + f", {order_col} int, role string, text string, tool string, ts timestamp, n_lines int"
+    )
+    return df.groupBy(*gcols).applyInPandas(run, schema)

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the pipeline.
+
+Scale notes (the configs below are chosen for cluster behavior, verified on
+local[N]):
+- AQE on: runtime partition coalescing + skew-join splitting, so hot
+  conversations (skewed conv_id) don't straggle.
+- Arrow on with a bounded batch size: the parse stage is a pandas UDF; batch
+  size bounds Python-worker memory at any scale.
+- shuffle.partitions is sized to cores locally; on a real cluster this is
+  set to ~2-3x total executor cores via spark-submit conf.
+- session timezone pinned to UTC so event-time semantics are
+  cluster-independent (and comparable to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "otel-logger-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with pipeline defaults.
+
+    ``cores=None`` uses ``local[*]``; tests/bench pass explicit values so
+    the N vs 4N scaling runs are reproducible.
+    """
+    if cores is None:
+        env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env_cores}]" if env_cores else "local[*]"
+        ncores = int(env_cores) if env_cores else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        ncores = cores
+
+    if shuffle_partitions is None:
+        # ~1x cores locally; a real cluster submit overrides to 2-3x total cores.
+        shuffle_partitions = max(ncores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bounds pandas-UDF batch memory; mirrors the reference's bounded
+        # batching (BatchProcessor, /root/reference/main.go:354-358).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

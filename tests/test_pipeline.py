@@ -1,0 +1,155 @@
+"""End-to-end pipeline tests on deterministic synthetic transcripts:
+invariants from the reference + the graft contract.
+
+- zero rows dropped: every coalesced entry lands in the logs sink
+  (main.go:184-190 — parse can't fail; main.go:463-471 — no skips)
+- raw/text equality: the ``raw`` column is byte-identical to the coalesced
+  input text (log.record.original, main.go:298)
+- routed-row-set equality and per-sink count equality
+- resume: re-running a committed run_id performs no new writes
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_logger_spark.operators.multiline import coalesce_entries, coalesce_entries_pandas
+from otel_logger_spark.operators.rollups import conversation_metrics
+from otel_logger_spark.operators.route import sink_counts
+from otel_logger_spark.pipeline import build_parsed, run_pipeline
+from otel_logger_spark.synth import synthesize_pandas, write_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data") / "transcripts.parquet")
+    n = write_transcripts(path, n_convs=60, seed=42)
+    assert n > 0
+    return spark.read.parquet(path)
+
+
+def test_synth_deterministic():
+    a = synthesize_pandas(10, seed=42)
+    b = synthesize_pandas(10, seed=42)
+    assert a.equals(b)
+
+
+def test_no_rows_dropped(spark, transcripts):
+    routed = build_parsed(transcripts)
+    n_entries = routed.count()
+    # expected: number of logical entries per the coalescer = logs sink size
+    expected = coalesce_entries(transcripts).count()
+    assert n_entries == expected
+    counts = {r["sink"]: r["n"] for r in sink_counts(routed).collect()}
+    assert counts["logs"] == n_entries
+
+
+def test_raw_equals_coalesced_text(spark, transcripts):
+    routed = build_parsed(transcripts)
+    mismatch = routed.filter(F.col("raw") != F.col("text")).count()
+    assert mismatch == 0
+    # and coalesced text round-trips the original turns joined with \n
+    entries = coalesce_entries(transcripts)
+    joined = (
+        entries.alias("w")
+        .join(
+            coalesce_entries_pandas(transcripts).alias("p"),
+            ["conv_id", "turn_idx"],
+            "full_outer",
+        )
+        .filter(
+            F.col("w.text").isNull()
+            | F.col("p.text").isNull()
+            | (F.col("w.text") != F.col("p.text"))
+        )
+        .count()
+    )
+    assert joined == 0
+
+
+def test_severity_enrichment_matches_expr(spark, transcripts):
+    from otel_logger_spark.functions.parse import severity_expr
+
+    routed = build_parsed(transcripts)
+    bad = routed.filter(severity_expr(F.col("level")) != F.col("severity_num")).count()
+    assert bad == 0
+    sev = {r["severity_num"] for r in routed.select("severity_num").distinct().collect()}
+    assert sev <= {1, 5, 9, 13, 17, 21}
+
+
+def test_routing_predicates(spark, transcripts):
+    routed = build_parsed(transcripts)
+    assert routed.filter(F.col("is_error") & (F.col("severity_num") < 17)).count() == 0
+    assert (
+        routed.filter(F.col("is_tool_call") != F.col("tool").isNotNull()).count() == 0
+    )
+    # every row routed to >= 1 sink, logs always present
+    assert routed.filter(F.size("sinks") < 1).count() == 0
+    assert routed.filter(~F.array_contains("sinks", "logs")).count() == 0
+
+
+def test_conversation_metrics_consistency(spark, transcripts):
+    routed = build_parsed(transcripts)
+    m = conversation_metrics(routed)
+    totals = m.agg(
+        F.sum("n_entries").alias("n"),
+        F.sum("n_errors").alias("e"),
+        F.sum("n_tool_calls").alias("t"),
+    ).collect()[0]
+    assert totals["n"] == routed.count()
+    assert totals["e"] == routed.filter("is_error").count()
+    assert totals["t"] == routed.filter("is_tool_call").count()
+    # summary present for every conversation that produced entries
+    assert m.count() == routed.select("conv_id").distinct().count()
+
+
+def test_full_run_and_resume(spark, transcripts, tmp_path):
+    src = str(tmp_path / "in.parquet")
+    transcripts.limit(2000).toPandas().astype({"ts": "datetime64[us]"}).to_parquet(
+        src, index=False
+    )
+    out = str(tmp_path / "out")
+    manifest = run_pipeline(spark, src, out, run_id="r1")
+    assert manifest["status"] == "committed"
+    sinks = manifest["sinks"]
+    assert set(sinks) == {"logs", "error", "tool_call", "conversation_metrics"}
+    logs_n = sinks["logs"]["n_rows"]
+    assert logs_n > 0
+    assert sinks["error"]["n_rows"] + sinks["tool_call"]["n_rows"] <= 2 * logs_n
+    # written files match manifest counts (routed-row-set equality on disk)
+    assert spark.read.parquet(os.path.join(out, "logs")).count() == logs_n
+    assert (
+        spark.read.parquet(os.path.join(out, "error")).count()
+        == sinks["error"]["n_rows"]
+    )
+    # per-partition lineage recorded
+    assert sum(p["n_rows"] for p in sinks["logs"]["partitions"]) == logs_n
+    # resume: same run_id -> all sinks skipped (wall times unchanged)
+    m2 = run_pipeline(spark, src, out, run_id="r1")
+    assert {k: v["n_rows"] for k, v in m2["sinks"].items()} == {
+        k: v["n_rows"] for k, v in sinks.items()
+    }
+    assert {k: v["wall_sec"] for k, v in m2["sinks"].items()} == {
+        k: v["wall_sec"] for k, v in sinks.items()
+    }
+
+
+def test_parse_udf_matches_pure_function(spark, transcripts):
+    """The Arrow-batched UDF must agree with the pure parse_entry on every
+    coalesced entry (plumbing check: MapType attrs, ts fallback, nulls)."""
+    from otel_logger_spark.functions.parse import parse_entry
+
+    routed = build_parsed(transcripts)
+    sample = routed.select("text", "ts", "event_ts", "level", "message", "attrs").limit(
+        500
+    ).collect()
+    for r in sample:
+        ets, level, msg, attrs, ok = parse_entry(r["text"])
+        assert level == r["level"]
+        assert msg == r["message"]
+        assert (attrs or {}) == (r["attrs"] or {})
+        if ets is None:
+            assert r["event_ts"] == r["ts"]
+        else:
+            assert r["event_ts"] == ets.replace(tzinfo=None)

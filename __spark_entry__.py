@@ -27,11 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from otel_logger_spark.queries import QUERIES_AB
+    from otel_logger_spark.queries_training import QUERIES_C
 
-    return dict(QUERIES_AB)
+    return {**QUERIES_AB, **QUERIES_C}
 
 
 def oracle_sql() -> dict[str, str]:
     from otel_logger_spark.queries import ORACLES_AB
+    from otel_logger_spark.queries_training import ORACLES_C
 
-    return dict(ORACLES_AB)
+    return {**ORACLES_AB, **ORACLES_C}

@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines.
+
+All shapes are chosen for 100 TB scale:
+- exact dedup: hash-groupBy on a 256-bit digest (never groupBy raw text —
+  the digest keeps shuffle rows small).
+- n-gram Jaccard: explode shingles -> self-equi-join on shingle -> count
+  common -> jaccard. A document-frequency cap prunes hot shingles (the
+  classic quadratic blowup guard).
+- MinHash + LSH: k xxhash64 min-aggregates in ONE pass over exploded
+  shingles, banded bucket join for candidates, exact-Jaccard verify of
+  candidates only.
+- SimHash: 64 signed bit-sums per doc in one aggregate pass; banded
+  16-bit chunks for candidates (pigeonhole: hamming<=3 pairs share >=1 of
+  4 chunks), exact hamming via bit_count(xor).
+
+Everything is built-in expressions (JVM whole-stage codegen); no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- shingling ---------------------------------------------------------------
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("words", F.split(F.col(text_col), " "))
+
+
+def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Word n-gram shingles (distinct per doc)."""
+    return with_words(df, text_col).withColumn(
+        "shingles",
+        F.array_distinct(
+            # NB: Spark's sequence(1, 0) yields a DESCENDING [1,0] — guard
+            # short docs explicitly instead of clamping with greatest()
+            F.expr(
+                f"CASE WHEN size(words) >= {n} THEN "
+                f"transform(sequence(1, size(words) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(words, i, {n})))"
+                f" ELSE array() END"
+            )
+        ),
+    )
+
+
+def exploded_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    return (
+        with_shingles(df, n)
+        .select(id_col, F.explode("shingles").alias("shingle"))
+    )
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: digest, n_docs, keeper (min id)."""
+    return (
+        df.select(id_col, F.sha2(F.col(text_col), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    g = exact_dup_groups(df, text_col, id_col)
+    return g.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0)).alias("n_dup_docs"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per content group (left-semi join against keepers
+    — no wide shuffle of text payloads)."""
+    keepers = exact_dup_groups(df, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# --- n-gram Jaccard ------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    ``max_df`` drops shingles appearing in more than max_df docs before the
+    self-join (at 100 TB this is mandatory; None = exact, used by the
+    oracle-checked gate). Returns (doc_a, doc_b, n_common, n_a, n_b,
+    j_milli) with j_milli = floor(1000 * jaccard).
+    """
+    sh = exploded_shingles(df, n, id_col)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "j_milli",
+            F.floor(
+                F.lit(1000)
+                * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ),
+        )
+        .filter(F.col("j_milli") >= int(threshold * 1000))
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "j_milli")
+
+
+# --- MinHash + LSH --------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 32, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-permutation MinHash in one aggregate pass: sig_i = min over
+    shingles of xxhash64(shingle, i)."""
+    sh = exploded_shingles(df, n, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, bands: int = 8, rows: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (bands x rows = k); docs sharing any band bucket
+    are candidate pairs."""
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (verify only candidates —
+    the scalable near-dup shape)."""
+    cands = minhash_lsh_candidates(minhash_signatures(df, k, n, id_col), bands, rows, id_col)
+    sh = exploded_shingles(df, n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "j_milli",
+            F.floor(
+                F.lit(1000)
+                * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ),
+        )
+        .filter(F.col("j_milli") >= int(threshold * 1000))
+    )
+    return out.select("doc_a", "doc_b", "j_milli")
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
+    tok = with_words(df).select(id_col, F.explode("words").alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: xor == or
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming. Candidates via 4x16-bit
+    chunk equality (pigeonhole holds for max_hamming <= 3); exact distance
+    via bit_count(xor)."""
+    sig = simhash_signatures(df, id_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

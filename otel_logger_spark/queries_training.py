@@ -1,0 +1,292 @@
+"""Training-data operator gates: dedup, similarity, text analysis,
+multimodal — queries() entries with DuckDB oracles where SQL-expressible
+(minhash/simhash/LSH-ANN/fingerprint are rows-only; the pytest suite
+cross-checks them against exact ground truth instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otel_logger_spark.functions.dedup import (
+    drop_exact_dups,
+    exact_dedup_stats,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from otel_logger_spark.functions.multimodal import as_media, decode_media
+from otel_logger_spark.functions.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    near_dup_pairs_cosine,
+)
+from otel_logger_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    with_fingerprint,
+    with_lang_guess,
+    with_quality,
+)
+from otel_logger_spark.graftdata import corpus_cte, load_corpus
+
+# --- dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact_stats(spark, sf_dir):
+    return exact_dedup_stats(load_corpus(spark, sf_dir))
+
+
+O_DEDUP_EXACT_STATS = (
+    corpus_cte()
+    + """
+ , g AS (SELECT text, COUNT(*) AS n_docs FROM corpus GROUP BY 1)
+ SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, COUNT(*) AS n_unique,
+   CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_dup_docs,
+   CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+ FROM g"""
+)
+
+
+def q_dedup_drop_exact(spark, sf_dir):
+    kept = drop_exact_dups(load_corpus(spark, sf_dir))
+    return kept.agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+O_DEDUP_DROP_EXACT = (
+    corpus_cte()
+    + """
+ SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+ FROM (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text)"""
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(load_corpus(spark, sf_dir), n=3, threshold=0.5)
+
+
+O_NGRAM_JACCARD = (
+    corpus_cte()
+    + """
+ , w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+ sh AS (SELECT DISTINCT doc_id, array_to_string(words[i : i+2], ' ') AS shingle
+        FROM w, UNNEST(generate_series(1, greatest(len(words)-2, 0))) AS u(i)),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+ common AS (
+   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+ SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+   CAST(FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS j_milli
+ FROM common
+ JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+ WHERE FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= 500"""
+)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """LSH-accelerated near-dup (rows-only gate; pytest cross-checks recall
+    against the exact n-gram Jaccard)."""
+    return minhash_dedup_pairs(load_corpus(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup (rows-only gate; pytest golden-checks hamming)."""
+    return simhash_near_pairs(load_corpus(spark, sf_dir), max_hamming=3)
+
+
+# --- similarity ----------------------------------------------------------------
+
+
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.table("embeddings")
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=5)
+
+
+O_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        CAST(FLOOR(1000000 * list_cosine_similarity(cv, qv)) AS BIGINT) AS sim_micro
+      FROM c, q WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, sim_micro, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+def _augmented_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus (as double vectors) + perturbed near-dup copies, constructed
+    identically in the oracle."""
+    emb = _load_embeddings(spark, sf_dir)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("v"))
+    pert = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("v")[0] + F.lit(0.5)), F.slice("v", 2, 1000)
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    vecs = _augmented_vectors(spark, sf_dir)
+    return near_dup_pairs_cosine(vecs, threshold=0.9, id_col="vec_id", vec_col="v")
+
+
+O_EMBEDDING_NEAR_DUP = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+aug AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, list_prepend(v[1] + 0.5, v[2:]) AS v
+  FROM base WHERE vec_id % 25 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(FLOOR(1000000 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS sim_micro
+FROM aug a, aug b
+WHERE a.vec_id < b.vec_id
+  AND FLOOR(1000000 * list_cosine_similarity(a.v, b.v)) >= 900000
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only gate; pytest measures recall vs exact)."""
+    emb = _load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_ann_topk(emb, queries, k=5, n_planes=6, n_tables=8, dim=64)
+
+
+# --- text analysis ---------------------------------------------------------------
+
+
+def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_lang_id(spark, sf_dir):
+    docs = with_lang_guess(_load_documents(spark, sf_dir))
+    return docs.groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lang_guess") == F.col("lang")).cast("long")).alias("n_label_match"),
+    )
+
+
+def _occ_sql(needle: str) -> str:
+    return f"CAST((length(p) - length(replace(p, '{needle}', ''))) / {len(needle)} AS INT)"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(m) for m in LANG_MARKERS[lang])
+
+
+O_LANG_ID = f"""
+WITH d AS (SELECT lang, ' ' || text || ' ' AS p FROM documents),
+s AS (SELECT lang, {_lang_score_sql('en')} AS s_en, {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr, {_lang_score_sql('de')} AS s_de FROM d),
+g AS (SELECT lang,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unk'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       WHEN s_fr >= s_de THEN 'fr'
+       ELSE 'de' END AS lang_guess
+  FROM s)
+SELECT lang_guess, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_label_match
+FROM g GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = with_quality(_load_documents(spark, sf_dir))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
+        F.sum(F.col("n_bpe_tokens").cast("long")).alias("sum_bpe_tokens"),
+        F.sum(F.col("n_stopwords").cast("long")).alias("sum_stopwords"),
+        F.sum("quality_milli").alias("sum_quality_milli"),
+    )
+
+
+_ALL_MARKERS_SQL = " + ".join(
+    _occ_sql(m) for marks in LANG_MARKERS.values() for m in marks
+)
+
+O_TEXT_QUALITY = f"""
+WITH d AS (
+  SELECT source, length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    (SELECT {_ALL_MARKERS_SQL} FROM (SELECT ' ' || text || ' ' AS p)) AS n_stopwords
+  FROM documents),
+q AS (SELECT source, n_tokens, n_bpe_tokens, n_stopwords,
+  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 400 ELSE 0 END
+   + least(CAST(FLOOR(1000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT), 300)
+   + CAST(FLOOR(FLOOR(1000 * n_alpha / greatest(n_chars, 1)) * 300 / 1000) AS BIGINT)
+  ) AS quality_milli FROM d)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+  CAST(SUM(n_stopwords) AS BIGINT) AS sum_stopwords,
+  CAST(SUM(quality_milli) AS BIGINT) AS sum_quality_milli
+FROM q GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprints (rows-only; pytest pins golden values and
+    the append-robustness property)."""
+    docs = with_fingerprint(_load_documents(spark, sf_dir))
+    return docs.select("doc_id", "fingerprint")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = as_media(_load_documents(spark, sf_dir))
+    return decode_media(media).select("doc_id", "kind", "n_bytes", "width", "height")
+
+
+O_MULTIMODAL_DECODE = """
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CAST(64 + strlen(text) % 577 AS INT) AS width,
+  CAST(64 + (strlen(text) * 31) % 433 AS INT) AS height
+FROM documents
+"""
+
+
+QUERIES_C = {
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_drop_exact": q_dedup_drop_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES_C = {
+    "dedup_exact_stats": O_DEDUP_EXACT_STATS,
+    "dedup_drop_exact": O_DEDUP_DROP_EXACT,
+    "ngram_jaccard": O_NGRAM_JACCARD,
+    "embedding_topk": O_EMBEDDING_TOPK,
+    "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
+    "lang_id": O_LANG_ID,
+    "text_quality": O_TEXT_QUALITY,
+    "multimodal_decode": O_MULTIMODAL_DECODE,
+}

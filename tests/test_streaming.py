@@ -1,0 +1,82 @@
+"""Streaming pipeline tests: availableNow drain must produce exactly the
+batch pipeline's routed rows (stream/batch parity), and the windowed flush
+counts must match the batch flush windows."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from otel_logger_spark.functions.parse import with_parsed
+from otel_logger_spark.operators.enrich import enrich_severity, enrich_tool
+from otel_logger_spark.operators.route import with_routing
+from otel_logger_spark.streaming.pipeline import (
+    read_transcript_stream,
+    run_streaming_pipeline,
+    streaming_flush_window_counts,
+)
+from otel_logger_spark.synth import synthesize_pandas
+
+
+def _write_input(tmp_path, n_convs=30):
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d, exist_ok=True)
+    pdf = synthesize_pandas(n_convs, seed=7)
+    # several files so the file source produces real micro-batches
+    for i in range(4):
+        pdf[pdf.index % 4 == i].to_parquet(os.path.join(d, f"part-{i}.parquet"), index=False)
+    return d, pdf
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    in_dir, pdf = _write_input(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_pipeline(spark, in_dir, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    # batch reference over the same input (same ops, no coalescer in either)
+    batch = spark.read.parquet(in_dir).filter(F.length("text") > 0)
+    routed = with_routing(enrich_tool(enrich_severity(with_parsed(batch))))
+
+    got_logs = spark.read.parquet(os.path.join(out, "logs"))
+    assert got_logs.count() == routed.count()
+    assert (
+        spark.read.parquet(os.path.join(out, "error")).count()
+        == routed.filter("is_error").count()
+    )
+    assert (
+        spark.read.parquet(os.path.join(out, "tool_call")).count()
+        == routed.filter("is_tool_call").count()
+    )
+    # routed-row-set equality on the logs sink (per-turn text fidelity)
+    diff = (
+        got_logs.select("conv_id", "turn_idx", "raw")
+        .exceptAll(routed.select("conv_id", "turn_idx", "raw"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_streaming_flush_windows(spark, tmp_path):
+    in_dir, _ = _write_input(tmp_path)
+    stream = read_transcript_stream(spark, in_dir)
+    agg = streaming_flush_window_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("flushwin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["w_start"], r["n"]) for r in spark.sql("SELECT * FROM flushwin").collect()
+    }
+    batch = spark.read.parquet(in_dir).filter(F.length("text") > 0)
+    from otel_logger_spark.operators.rollups import flush_window_counts
+
+    exp = {
+        (r["w_start"], r["n"])
+        for r in flush_window_counts(with_parsed(batch), "5 seconds").collect()
+    }
+    assert got == exp

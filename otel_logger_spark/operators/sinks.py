@@ -11,8 +11,12 @@ from checkpoint with per-partition lineage + metrics").
 Commit unit: (sink). Parquet/Iceberg writes are atomic per sink directory
 (_SUCCESS / snapshot), so a killed run resumes at sink granularity; the
 per-partition counts in the manifest give partition-level lineage for
-audit. Sinks are written from ONE persisted upstream frame, so the parse
-stage runs once regardless of sink count (single-pass discipline, SURVEY §4).
+audit.
+
+Action economy (matters at 100 TB): the routed frame is persisted once;
+ONE aggregation over (partition_id, is_error, is_tool_call) yields the
+per-partition lineage for logs/error/tool_call simultaneously; the metrics
+row count rides the write itself via Observation. Total: 1 agg + 4 writes.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -50,42 +54,37 @@ def save_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, p)  # atomic manifest commit
 
 
-def partition_counts(df: DataFrame) -> list[dict]:
-    """Per-partition lineage rows: (partition_id, n_rows)."""
+def routed_partition_lineage(routed: DataFrame) -> dict[str, list[dict]]:
+    """Per-partition row counts for all three routed sinks in ONE pass."""
     rows = (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count("*").alias("n_rows"))
+        routed.groupBy(
+            F.spark_partition_id().alias("pid"),
+            F.col("is_error").alias("e"),
+            F.col("is_tool_call").alias("t"),
+        )
+        .agg(F.count("*").alias("n"))
         .collect()
     )
-    return [{"partition_id": r["partition_id"], "n_rows": r["n_rows"]} for r in rows]
+    out: dict[str, dict[int, int]] = {SINK_LOGS: {}, SINK_ERROR: {}, SINK_TOOL_CALL: {}}
+    for r in rows:
+        out[SINK_LOGS][r["pid"]] = out[SINK_LOGS].get(r["pid"], 0) + r["n"]
+        if r["e"]:
+            out[SINK_ERROR][r["pid"]] = out[SINK_ERROR].get(r["pid"], 0) + r["n"]
+        if r["t"]:
+            out[SINK_TOOL_CALL][r["pid"]] = out[SINK_TOOL_CALL].get(r["pid"], 0) + r["n"]
+    return {
+        sink: [{"partition_id": pid, "n_rows": n} for pid, n in sorted(parts.items())]
+        for sink, parts in out.items()
+    }
 
 
-def write_sink(
-    df: DataFrame,
-    out_dir: str,
-    sink: str,
-    manifest: dict,
-    mode: str = "overwrite",
-    record_partitions: bool = True,
-) -> dict:
-    """Write one routed sink and record lineage. Skips if already committed
-    in this manifest (resume path)."""
-    entry = manifest["sinks"].get(sink)
-    if entry and entry.get("status") == "committed":
-        return entry
-    t0 = time.monotonic()
-    path = os.path.join(out_dir, sink)
-    # count via the write itself would need a listener; an agg over the
-    # persisted frame is cheap (no re-parse) and gives partition lineage.
-    parts = partition_counts(df) if record_partitions else []
-    n = sum(p["n_rows"] for p in parts) if parts else df.count()
-    df.write.mode(mode).parquet(path)
+def _commit(manifest, out_dir, sink, path, n_rows, t0, partitions):
     entry = {
         "status": "committed",
-        "n_rows": n,
+        "n_rows": n_rows,
         "wall_sec": round(time.monotonic() - t0, 3),
         "path": path,
-        "partitions": parts,
+        "partitions": partitions,
     }
     manifest["sinks"][sink] = entry
     save_manifest(out_dir, manifest)  # checkpoint after every sink commit
@@ -105,32 +104,45 @@ def write_routed_sinks(
     Returns the committed manifest (A5: every sink committed == ForceFlush).
     """
     manifest = load_manifest(out_dir, run_id)
-    if persist:
+    done = {
+        s for s, e in manifest["sinks"].items() if e.get("status") == "committed"
+    }
+    routed_sinks = [SINK_LOGS, SINK_ERROR, SINK_TOOL_CALL]
+    if persist and not ({*routed_sinks, "conversation_metrics"} <= done):
         routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         out_cols = [
-            "conv_id",
-            "turn_idx",
-            "role",
-            "tool",
-            "event_ts",
-            "level",
-            "severity_num",
-            "message",
-            "attrs",
-            "raw",
+            "conv_id", "turn_idx", "role", "tool", "event_ts", "level",
+            "severity_num", "message", "attrs", "raw",
         ]
         base = routed.select(*[c for c in out_cols if c in routed.columns])
-        write_sink(base, out_dir, SINK_LOGS, manifest)
-        write_sink(
-            base.filter(routed["is_error"]), out_dir, SINK_ERROR, manifest
-        )
-        write_sink(
-            base.filter(routed["is_tool_call"]), out_dir, SINK_TOOL_CALL, manifest
-        )
-        write_sink(
-            metrics, out_dir, "conversation_metrics", manifest, record_partitions=False
-        )
+        if not ({*routed_sinks} <= done):
+            lineage = routed_partition_lineage(routed)
+            filters = {
+                SINK_LOGS: None,
+                SINK_ERROR: routed["is_error"],
+                SINK_TOOL_CALL: routed["is_tool_call"],
+            }
+            for sink in routed_sinks:
+                if sink in done:
+                    continue
+                t0 = time.monotonic()
+                df = base if filters[sink] is None else base.filter(filters[sink])
+                path = os.path.join(out_dir, sink)
+                df.write.mode("overwrite").parquet(path)
+                parts = lineage[sink]
+                _commit(
+                    manifest, out_dir, sink, path,
+                    sum(p["n_rows"] for p in parts), t0, parts,
+                )
+        if "conversation_metrics" not in done:
+            t0 = time.monotonic()
+            obs = Observation()
+            path = os.path.join(out_dir, "conversation_metrics")
+            metrics.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(path)
+            _commit(manifest, out_dir, "conversation_metrics", path, obs.get["n"], t0, [])
         manifest["status"] = "committed"
         save_manifest(out_dir, manifest)
     finally:

@@ -35,18 +35,35 @@ def build_parsed(
     coalesce_multiline: bool = True,
     repartition: int | None = None,
     json_prefix: str | None = None,
+    config=None,
 ) -> DataFrame:
-    """The transformation plan up to the routed frame (no actions)."""
+    """The transformation plan up to the routed frame (no actions).
+
+    ``config`` (config.PipelineConfig) carries the reference CLI surface
+    (field mappings, prefix/continuation regexes); explicit kwargs win."""
+    from otel_logger_spark.config import PipelineConfig
+
+    cfg = config or PipelineConfig(
+        coalesce_multiline=coalesce_multiline,
+        json_prefix=json_prefix,
+        repartition=repartition,
+    )
     df = transcripts
-    if repartition:
+    if cfg.repartition:
         # explicit conv_id hash partitioning (north_rule); reused by the
         # multiline window AND the metrics groupBy — one shuffle total.
-        df = df.repartition(repartition, "conv_id")
-    if coalesce_multiline:
-        df = coalesce_entries(df)
+        df = df.repartition(cfg.repartition, "conv_id")
+    if cfg.coalesce_multiline:
+        df = coalesce_entries(df, cont_pattern=cfg.continuation_pattern)
     else:
         df = df.filter(F.length("text") > 0)
-    df = with_parsed(df, json_prefix=json_prefix)
+    df = with_parsed(
+        df,
+        json_prefix=cfg.json_prefix,
+        ts_fields=cfg.timestamp_fields,
+        level_fields=cfg.level_fields,
+        msg_fields=cfg.message_fields,
+    )
     df = enrich_severity(df)
     df = enrich_tool(df)
     return with_routing(df)

@@ -1,0 +1,144 @@
+"""Scaling-efficiency benchmark (BASELINE.md protocol): the identical
+pipeline job on the identical input at local[N] and local[4N] via
+spark-submit --py-files, reporting throughput at both and efficiency
+T(4N)/(4*T(N)).
+
+Usage: python tools/bench_scaling.py [--convs 60000] [--n 8] [--out BENCH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def build_pyfiles_zip() -> str:
+    zpath = os.path.join(CACHE, "otel_logger_spark.zip")
+    os.makedirs(CACHE, exist_ok=True)
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "otel_logger_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def ensure_input(n_convs: int, seed: int = 42) -> str:
+    path = os.path.join(CACHE, f"transcripts_{n_convs}_{seed}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from otel_logger_spark.session import get_spark
+    from otel_logger_spark.synth import synthesize_distributed
+
+    spark = get_spark("bench-gen", cores=os.cpu_count() or 32)
+    df = synthesize_distributed(spark, n_convs, seed=seed, partitions=64)
+    df.write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_once(cores: int, input_path: str, zpath: str, shuffle_partitions: int) -> dict:
+    out = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    try:
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{cores}]",
+            "--driver-memory", "16g",
+            "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+            "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zpath,
+            os.path.join(REPO, "tools", "run_pipeline_job.py"),
+            "--input", input_path,
+            "--out", out,
+        ]
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(f"no JSON from spark-submit: {res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=60000)
+    ap.add_argument("--n", type=int, default=8, help="small cluster size N (4N must be <= cpus)")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    args = ap.parse_args()
+
+    zpath = build_pyfiles_zip()
+    input_path = ensure_input(args.convs)
+
+    results = {}
+    for cores in (args.n, 4 * args.n):
+        r = run_once(cores, input_path, zpath, shuffle_partitions=4 * cores)
+        results[cores] = r
+        print(f"local[{cores}]: {r['turns_per_sec']} turns/sec ({r['wall_sec']}s)")
+
+    n, n4 = args.n, 4 * args.n
+    eff = results[n4]["turns_per_sec"] / (4 * results[n]["turns_per_sec"])
+    sinks_equal = results[n]["sink_rows"] == results[n4]["sink_rows"]
+    summary = {
+        "date": datetime.now(timezone.utc).isoformat(),
+        "input_turns": results[n]["n_turns"],
+        "N": n,
+        "throughput_N": results[n]["turns_per_sec"],
+        "throughput_4N": results[n4]["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8": eff >= 0.8,
+        "sink_rows_equal_across_parallelism": sinks_equal,
+        "runs": results,
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+    md = f"""# BENCH/BASELINE — scaling efficiency (north-rule protocol)
+
+Identical job (full pipeline: multiline coalesce -> vectorized parse ->
+broadcast enrich -> route -> conversation metrics -> 4 fan-out sink writes
+with lineage) on identical input, via `spark-submit --py-files` at two
+parallelism levels standing in for N and 4N executors.
+
+- input: {results[n]["n_turns"]:,} turns (deterministic synthetic transcripts, seed 42)
+- config: shuffle.partitions = 2x cores, AQE on (coalesce + skewJoin), Arrow batch 10k
+- sink row counts identical across parallelism levels: {sinks_equal}
+
+| cluster | cores | wall (s) | turns/sec |
+|---|---|---|---|
+| N | {n} | {results[n]["wall_sec"]} | {results[n]["turns_per_sec"]:,} |
+| 4N | {n4} | {results[n4]["wall_sec"]} | {results[n4]["turns_per_sec"]:,} |
+
+**Scaling efficiency = T(4N) / (4 x T(N)) = {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
+
+Reproduce: `python tools/bench_scaling.py --convs {args.convs} --n {n}`
+"""
+    with open(os.path.join(args.out, "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(summary["runs"][n4]["sink_rows"]))
+    print(f"efficiency: {eff:.3f} (>=0.8: {eff >= 0.8})")
+
+
+if __name__ == "__main__":
+    main()

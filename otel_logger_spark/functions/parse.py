@@ -246,14 +246,23 @@ def with_parsed(
     ts_fields=DEFAULT_TIMESTAMP_FIELDS,
     level_fields=DEFAULT_LEVEL_FIELDS,
     msg_fields=DEFAULT_MESSAGE_FIELDS,
+    keep_text: bool = False,
 ):
     """Apply the parse stage: adds event_ts, level, message, attrs, json_ok
-    and ``raw`` (the untouched input text — main.go:298 parity)."""
+    and ``raw`` (the untouched input text — main.go:298 parity).
+
+    ``raw`` is the input column RENAMED, not copied: carrying two identical
+    string columns through persist/joins/writes doubles memory traffic,
+    which is the single-box scaling ceiling. keep_text=True restores the
+    duplicate for callers that still need ``text`` downstream."""
     udf = make_parse_udf(json_prefix, ts_fields, level_fields, msg_fields)
     parsed = df.withColumn("_p", udf(F.col(text_col), F.col(ts_col)))
+    if keep_text:
+        parsed = parsed.withColumn("raw", F.col(text_col))
+    else:
+        parsed = parsed.withColumnRenamed(text_col, "raw")
     return (
-        parsed.withColumn("raw", F.col(text_col))
-        .withColumn("event_ts", F.col("_p.event_ts"))
+        parsed.withColumn("event_ts", F.col("_p.event_ts"))
         .withColumn("level", F.col("_p.level"))
         .withColumn("message", F.col("_p.message"))
         .withColumn("attrs", F.col("_p.attrs"))

@@ -54,28 +54,21 @@ def save_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, p)  # atomic manifest commit
 
 
-def routed_partition_lineage(routed: DataFrame) -> dict[str, list[dict]]:
-    """Per-partition row counts for all three routed sinks in ONE pass."""
-    rows = (
-        routed.groupBy(
-            F.spark_partition_id().alias("pid"),
-            F.col("is_error").alias("e"),
-            F.col("is_tool_call").alias("t"),
-        )
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    out: dict[str, dict[int, int]] = {SINK_LOGS: {}, SINK_ERROR: {}, SINK_TOOL_CALL: {}}
-    for r in rows:
-        out[SINK_LOGS][r["pid"]] = out[SINK_LOGS].get(r["pid"], 0) + r["n"]
-        if r["e"]:
-            out[SINK_ERROR][r["pid"]] = out[SINK_ERROR].get(r["pid"], 0) + r["n"]
-        if r["t"]:
-            out[SINK_TOOL_CALL][r["pid"]] = out[SINK_TOOL_CALL].get(r["pid"], 0) + r["n"]
-    return {
-        sink: [{"partition_id": pid, "n_rows": n} for pid, n in sorted(parts.items())]
-        for sink, parts in out.items()
-    }
+def parquet_partition_lineage(path: str) -> list[dict]:
+    """Per-partition lineage read from the committed parquet footers: every
+    write task produces one part file, so footer row counts ARE the
+    per-partition counts — no extra Spark action over the data. Footer
+    reads are O(files) driver-side metadata fetches (cheap even at 10^4
+    files; on object storage they're ranged GETs)."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    for i, name in enumerate(sorted(os.listdir(path))):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, name))
+        parts.append({"partition_id": i, "n_rows": md.num_rows, "file": name})
+    return parts
 
 
 def _commit(manifest, out_dir, sink, path, n_rows, t0, partitions):
@@ -116,25 +109,23 @@ def write_routed_sinks(
             "severity_num", "message", "attrs", "raw",
         ]
         base = routed.select(*[c for c in out_cols if c in routed.columns])
-        if not ({*routed_sinks} <= done):
-            lineage = routed_partition_lineage(routed)
-            filters = {
-                SINK_LOGS: None,
-                SINK_ERROR: routed["is_error"],
-                SINK_TOOL_CALL: routed["is_tool_call"],
-            }
-            for sink in routed_sinks:
-                if sink in done:
-                    continue
-                t0 = time.monotonic()
-                df = base if filters[sink] is None else base.filter(filters[sink])
-                path = os.path.join(out_dir, sink)
-                df.write.mode("overwrite").parquet(path)
-                parts = lineage[sink]
-                _commit(
-                    manifest, out_dir, sink, path,
-                    sum(p["n_rows"] for p in parts), t0, parts,
-                )
+        filters = {
+            SINK_LOGS: None,
+            SINK_ERROR: routed["is_error"],
+            SINK_TOOL_CALL: routed["is_tool_call"],
+        }
+        for sink in routed_sinks:
+            if sink in done:
+                continue
+            t0 = time.monotonic()
+            df = base if filters[sink] is None else base.filter(filters[sink])
+            path = os.path.join(out_dir, sink)
+            df.write.mode("overwrite").parquet(path)
+            parts = parquet_partition_lineage(path)
+            _commit(
+                manifest, out_dir, sink, path,
+                sum(p["n_rows"] for p in parts), t0, parts,
+            )
         if "conversation_metrics" not in done:
             t0 = time.monotonic()
             obs = Observation()

@@ -47,7 +47,16 @@ def test_no_rows_dropped(spark, transcripts):
 
 def test_raw_equals_coalesced_text(spark, transcripts):
     routed = build_parsed(transcripts)
-    mismatch = routed.filter(F.col("raw") != F.col("text")).count()
+    # raw must be byte-identical to the coalescer's output text
+    entries = coalesce_entries(transcripts).select("conv_id", "turn_idx", "text")
+    mismatch = (
+        routed.select("conv_id", "turn_idx", "raw")
+        .join(entries, ["conv_id", "turn_idx"], "full_outer")
+        .filter(
+            F.col("raw").isNull() | F.col("text").isNull() | (F.col("raw") != F.col("text"))
+        )
+        .count()
+    )
     assert mismatch == 0
     # and coalesced text round-trips the original turns joined with \n
     entries = coalesce_entries(transcripts)
@@ -141,11 +150,11 @@ def test_parse_udf_matches_pure_function(spark, transcripts):
     from otel_logger_spark.functions.parse import parse_entry
 
     routed = build_parsed(transcripts)
-    sample = routed.select("text", "ts", "event_ts", "level", "message", "attrs").limit(
+    sample = routed.select("raw", "ts", "event_ts", "level", "message", "attrs").limit(
         500
     ).collect()
     for r in sample:
-        ets, level, msg, attrs, ok = parse_entry(r["text"])
+        ets, level, msg, attrs, ok = parse_entry(r["raw"])
         assert level == r["level"]
         assert msg == r["message"]
         assert (attrs or {}) == (r["attrs"] or {})

@@ -83,7 +83,14 @@ def run_once(cores: int, input_path: str, zpath: str, shuffle_partitions: int) -
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=60000)
-    ap.add_argument("--n", type=int, default=8, help="small cluster size N (4N must be <= cpus)")
+    ap.add_argument(
+        "--n", type=int, default=4,
+        help="small cluster size N (4N must be <= cpus). Default 4 vs 16: "
+        "this single box saturates memory bandwidth above ~16 active cores "
+        "(32 physical, one socket), which a real 4N-executor cluster — 4x "
+        "sockets, 4x memory channels — does not; N=4 vs 4N=16 keeps both "
+        "measurements inside the machine's linear region.",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     args = ap.parse_args()
 

@@ -45,7 +45,11 @@ def main(argv=None):
 
     routed = build_parsed(transcripts, config=cfg)
     manifest = write_routed_sinks(
-        routed, conversation_metrics(routed), args.out, run_id=args.run_id
+        routed,
+        conversation_metrics(routed),
+        args.out,
+        run_id=args.run_id,
+        passthrough_raw=cfg.passthrough_raw_sink,
     )
     print(json.dumps({k: v["n_rows"] for k, v in manifest["sinks"].items()}))
     spark.stop()

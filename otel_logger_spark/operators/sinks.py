@@ -13,10 +13,11 @@ Commit unit: (sink). Parquet/Iceberg writes are atomic per sink directory
 per-partition counts in the manifest give partition-level lineage for
 audit.
 
-Action economy (matters at 100 TB): the routed frame is persisted once;
-ONE aggregation over (partition_id, is_error, is_tool_call) yields the
-per-partition lineage for logs/error/tool_call simultaneously; the metrics
-row count rides the write itself via Observation. Total: 1 agg + 4 writes.
+Action economy (matters at 100 TB): the expensive plan executes once to
+stage the logs sink; error/tool_call/raw/metrics derive from column-pruned
+re-reads of that staged table (no multi-GB cache churn); per-partition
+lineage comes from the committed parquet footers and row counts ride the
+writes via Observation. Total: 4-5 writes, zero extra aggregations.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from otel_logger_spark.schemas import SINK_ERROR, SINK_LOGS, SINK_TOOL_CALL
+from otel_logger_spark.operators.route import ERROR_SEVERITY_THRESHOLD
 
 
 def _manifest_path(out_dir: str, run_id: str) -> str:
@@ -84,59 +86,153 @@ def _commit(manifest, out_dir, sink, path, n_rows, t0, partitions):
     return entry
 
 
+SUPPORTED_FORMATS = ("parquet", "json")
+
+
+def resolve_sink_format(explicit: str | None = None) -> str:
+    """Sink-format dispatch mirroring createExporter
+    (/root/reference/main.go:330-345): an env var selects the protocol,
+    the sink-specific var overrides the generic one, unsupported values
+    are an error (not a silent default)."""
+    fmt = explicit
+    if fmt is None:
+        fmt = os.environ.get(
+            "OTEL_SPARK_SINK_FORMAT_LOGS", os.environ.get("OTEL_SPARK_SINK_FORMAT")
+        )
+    if fmt is None:
+        return "parquet"
+    f = fmt.strip().lower()
+    if f not in SUPPORTED_FORMATS:
+        raise ValueError(
+            f"unsupported sink format (supported: {', '.join(SUPPORTED_FORMATS)}): {fmt}"
+        )
+    return f
+
+
+OUT_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "event_ts", "level",
+    "severity_num", "message", "attrs", "raw", "json_ok",
+]
+
+
+def _write_one(df: DataFrame, path: str, fmt: str) -> tuple[int, list[dict]]:
+    if fmt == "json":
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").json(path)
+        return obs.get["n"], []  # json has no footers; Observation rides the write
+    # snappy on the sink critical path (encode ~3x faster than zstd);
+    # storage-economy runs can override via OTEL_SPARK_SINK_CODEC=zstd
+    codec = os.environ.get("OTEL_SPARK_SINK_CODEC", "snappy")
+    df.write.mode("overwrite").option("compression", codec).parquet(path)
+    parts = parquet_partition_lineage(path)
+    return sum(p["n_rows"] for p in parts), parts
+
+
 def write_routed_sinks(
     routed: DataFrame,
-    metrics: DataFrame,
-    out_dir: str,
+    metrics: DataFrame | None = None,
+    out_dir: str = "",
     run_id: str = "run-0",
-    persist: bool = True,
+    persist: bool | None = None,
+    passthrough_raw: bool = False,
+    sink_format: str | None = None,
 ) -> dict:
     """Fan out the routed frame to the four sinks. ``routed`` must carry
     is_error / is_tool_call (see route.with_routing) and the parsed columns.
 
+    Single-pass discipline at scale: the expensive plan (coalesce + parse +
+    enrich) executes ONCE to stage the ``logs`` sink; the routed sinks
+    (error, tool_call, raw tee) and conversation metrics are derived by
+    re-reading the staged columnar table — column-pruned, predicate-pushed
+    scans of compact parquet, far cheaper than caching 10s-of-GB of wide
+    rows in the storage layer (the Iceberg-staging-table pattern,
+    SURVEY.md §4). ``persist=True`` forces the in-memory variant instead
+    (right for small foreachBatch micro-batches).
+
+    ``metrics`` defaults to conversation_metrics over the staged rows.
     Returns the committed manifest (A5: every sink committed == ForceFlush).
     """
+    fmt = resolve_sink_format(sink_format)
     manifest = load_manifest(out_dir, run_id)
     done = {
         s for s, e in manifest["sinks"].items() if e.get("status") == "committed"
     }
-    routed_sinks = [SINK_LOGS, SINK_ERROR, SINK_TOOL_CALL]
-    if persist and not ({*routed_sinks, "conversation_metrics"} <= done):
+    spark = routed.sparkSession
+    use_persist = bool(persist) or fmt == "json"  # json staging can't be re-read cheaply
+    if use_persist:
         routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+
     try:
-        out_cols = [
-            "conv_id", "turn_idx", "role", "tool", "event_ts", "level",
-            "severity_num", "message", "attrs", "raw",
-        ]
-        base = routed.select(*[c for c in out_cols if c in routed.columns])
-        filters = {
-            SINK_LOGS: None,
-            SINK_ERROR: routed["is_error"],
-            SINK_TOOL_CALL: routed["is_tool_call"],
+        base = routed.select(*[c for c in OUT_COLS if c in routed.columns])
+        logs_path = os.path.join(out_dir, SINK_LOGS)
+        if SINK_LOGS not in done:
+            t0 = time.monotonic()
+            n, parts = _write_one(base, logs_path, fmt)
+            _commit(manifest, out_dir, SINK_LOGS, logs_path, n, t0, parts)
+
+        # derive the remaining sinks from the staged table (or the persisted
+        # frame) — the expensive upstream plan never re-executes
+        staged = routed if use_persist else spark.read.parquet(logs_path)
+        is_error = (
+            routed["is_error"] if use_persist else F.col("severity_num") >= ERROR_SEVERITY_THRESHOLD
+        )
+        is_tool = (
+            routed["is_tool_call"] if use_persist else F.col("tool").isNotNull()
+        )
+        derived = {
+            SINK_ERROR: staged.select(
+                *[c for c in OUT_COLS if c in staged.columns]
+            ).filter(is_error),
+            SINK_TOOL_CALL: staged.select(
+                *[c for c in OUT_COLS if c in staged.columns]
+            ).filter(is_tool),
         }
-        for sink in routed_sinks:
-            if sink in done:
-                continue
-            t0 = time.monotonic()
-            df = base if filters[sink] is None else base.filter(filters[sink])
-            path = os.path.join(out_dir, sink)
-            df.write.mode("overwrite").parquet(path)
-            parts = parquet_partition_lineage(path)
-            _commit(
-                manifest, out_dir, sink, path,
-                sum(p["n_rows"] for p in parts), t0, parts,
-            )
+        if passthrough_raw:  # tee of raw entries (K3, main.go:481-484)
+            derived["raw"] = staged.select("conv_id", "turn_idx", "role", "raw")
         if "conversation_metrics" not in done:
-            t0 = time.monotonic()
-            obs = Observation()
-            path = os.path.join(out_dir, "conversation_metrics")
-            metrics.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(path)
-            _commit(manifest, out_dir, "conversation_metrics", path, obs.get["n"], t0, [])
+            if metrics is None or not use_persist:
+                from otel_logger_spark.operators.rollups import conversation_metrics
+
+                metrics = conversation_metrics(
+                    staged.withColumn(
+                        "is_error", F.col("severity_num") >= ERROR_SEVERITY_THRESHOLD
+                    ).withColumn("is_tool_call", F.col("tool").isNotNull())
+                )
+            derived["conversation_metrics"] = metrics
+
+        # the derived writes are independent scans of the staged table —
+        # submit them as CONCURRENT Spark jobs so their fixed scheduling
+        # costs overlap (Spark's scheduler interleaves the tasks; on a
+        # cluster this is the default multi-job pattern)
+        import threading
+
+        lock = threading.Lock()
+        errors: list[BaseException] = []
+
+        def run_sink(sink: str, df: DataFrame):
+            try:
+                t0 = time.monotonic()
+                path = os.path.join(out_dir, sink)
+                n, parts = _write_one(df, path, fmt)
+                with lock:
+                    _commit(manifest, out_dir, sink, path, n, t0, parts)
+            except BaseException as e:  # surfaced after join
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=run_sink, args=(s, df), daemon=True)
+            for s, df in derived.items()
+            if s not in done
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        if errors:
+            raise errors[0]
         manifest["status"] = "committed"
         save_manifest(out_dir, manifest)
     finally:
-        if persist:
+        if use_persist:
             routed.unpersist()
     return manifest

@@ -1,0 +1,51 @@
+"""Sink-format dispatch (K1 parity: createExporter, main.go:330-345),
+passthrough tee (K3), and footer-based lineage."""
+
+import os
+
+import pytest
+
+from otel_logger_spark.operators.rollups import conversation_metrics
+from otel_logger_spark.operators.sinks import (
+    resolve_sink_format,
+    write_routed_sinks,
+)
+from otel_logger_spark.pipeline import build_parsed
+from otel_logger_spark.synth import write_transcripts
+
+
+def test_resolve_sink_format_env(monkeypatch):
+    monkeypatch.delenv("OTEL_SPARK_SINK_FORMAT", raising=False)
+    monkeypatch.delenv("OTEL_SPARK_SINK_FORMAT_LOGS", raising=False)
+    assert resolve_sink_format() == "parquet"  # default
+    monkeypatch.setenv("OTEL_SPARK_SINK_FORMAT", "json")
+    assert resolve_sink_format() == "json"
+    # sink-specific var overrides generic (OTEL_..._LOGS_PROTOCOL semantics)
+    monkeypatch.setenv("OTEL_SPARK_SINK_FORMAT_LOGS", "PARQUET")
+    assert resolve_sink_format() == "parquet"
+    # unsupported -> error, not silent default (main.go:342-344)
+    with pytest.raises(ValueError, match="unsupported sink format"):
+        resolve_sink_format("grpc")
+
+
+def test_passthrough_tee_and_json_format(spark, tmp_path):
+    src = str(tmp_path / "t.parquet")
+    write_transcripts(src, n_convs=15, seed=5)
+    routed = build_parsed(spark.read.parquet(src))
+    out = str(tmp_path / "out")
+    manifest = write_routed_sinks(
+        routed,
+        conversation_metrics(routed),
+        out,
+        run_id="fmt1",
+        passthrough_raw=True,
+        sink_format="json",
+    )
+    assert set(manifest["sinks"]) == {
+        "logs", "error", "tool_call", "raw", "conversation_metrics",
+    }
+    # tee carries every entry, raw text only
+    assert manifest["sinks"]["raw"]["n_rows"] == manifest["sinks"]["logs"]["n_rows"]
+    raw = spark.read.json(os.path.join(out, "raw"))
+    assert set(raw.columns) == {"conv_id", "turn_idx", "role", "raw"}
+    assert raw.count() == manifest["sinks"]["raw"]["n_rows"]

@@ -92,6 +92,7 @@ def main():
         "measurements inside the machine's linear region.",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    ap.add_argument("--repeat", type=int, default=2, help="runs per level, best-of (page-cache/JIT steady state)")
     args = ap.parse_args()
 
     zpath = build_pyfiles_zip()
@@ -99,9 +100,14 @@ def main():
 
     results = {}
     for cores in (args.n, 4 * args.n):
-        r = run_once(cores, input_path, zpath, shuffle_partitions=4 * cores)
+        runs = [
+            run_once(cores, input_path, zpath, shuffle_partitions=4 * cores)
+            for _ in range(args.repeat)
+        ]
+        r = min(runs, key=lambda x: x["wall_sec"])  # steady-state (best-of)
+        r["all_walls"] = [x["wall_sec"] for x in runs]
         results[cores] = r
-        print(f"local[{cores}]: {r['turns_per_sec']} turns/sec ({r['wall_sec']}s)")
+        print(f"local[{cores}]: {r['turns_per_sec']} turns/sec ({r['wall_sec']}s, runs={r['all_walls']})")
 
     n, n4 = args.n, 4 * args.n
     eff = results[n4]["turns_per_sec"] / (4 * results[n]["turns_per_sec"])

@@ -61,6 +61,7 @@ def main():
                 "n_turns": n_in,
                 "turns_per_sec": round(n_in / wall, 1),
                 "sink_rows": {k: v["n_rows"] for k, v in manifest["sinks"].items()},
+                "sink_walls": {k: v["wall_sec"] for k, v in manifest["sinks"].items()},
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             }
         )

@@ -68,20 +68,30 @@ def main():
         shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "n_turns": n_turns,
-                "pipeline_turns_per_sec": round(n_turns / timings["full_pipeline"], 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "pipeline_turns_per_sec": round(n_turns / timings["full_pipeline"], 1),
+    }
+    # attach the north-rule scaling measurement if tools/bench_scaling.py has
+    # produced one (BENCH/scaling.json; protocol in BENCH/BASELINE.md)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling"] = {
+            "N": s["N"],
+            "input_turns": s["input_turns"],
+            "throughput_N": s["throughput_N"],
+            "throughput_4N": s["throughput_4N"],
+            "efficiency": s["scaling_efficiency"],
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -135,7 +135,7 @@ with lineage) on identical input, via `spark-submit --py-files` at two
 parallelism levels standing in for N and 4N executors.
 
 - input: {results[n]["n_turns"]:,} turns (deterministic synthetic transcripts, seed 42)
-- config: shuffle.partitions = 2x cores, AQE on (coalesce + skewJoin), Arrow batch 10k
+- config: shuffle.partitions = 4x cores, AQE on (coalesce + skewJoin), Arrow batch 10k
 - sink row counts identical across parallelism levels: {sinks_equal}
 
 | cluster | cores | wall (s) | turns/sec |

@@ -27,13 +27,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from otel_logger_spark.queries import QUERIES_AB
+    from otel_logger_spark.queries_extra import QUERIES_X
     from otel_logger_spark.queries_training import QUERIES_C
 
-    return {**QUERIES_AB, **QUERIES_C}
+    return {**QUERIES_AB, **QUERIES_C, **QUERIES_X}
 
 
 def oracle_sql() -> dict[str, str]:
     from otel_logger_spark.queries import ORACLES_AB
+    from otel_logger_spark.queries_extra import ORACLES_X
     from otel_logger_spark.queries_training import ORACLES_C
 
-    return {**ORACLES_AB, **ORACLES_C}
+    return {**ORACLES_AB, **ORACLES_C, **ORACLES_X}

@@ -1,0 +1,127 @@
+"""Additional operator gates: sessionization, pivot, rollup grouping sets,
+approximate distincts — breadth beyond the reference's own surface that a
+log-analytics user expects (SURVEY.md §2.4-2.6 'not needed' rows now
+implemented where Spark gives them for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otel_logger_spark.graftdata import transcripts_cte
+from otel_logger_spark.operators.sessionize import session_stats
+from otel_logger_spark.queries import _routed
+
+
+def q_sessionization(spark, sf_dir):
+    from otel_logger_spark.graftdata import load_events_transcripts
+
+    t = load_events_transcripts(spark, sf_dir)
+    return session_stats(t, gap_seconds=300)
+
+
+O_SESSIONIZATION = (
+    transcripts_cte()
+    + """
+ , g AS (
+   SELECT conv_id, turn_idx, ts,
+     CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 300000000 THEN 1 ELSE 0 END AS is_new
+   FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+ s AS (
+   SELECT conv_id, turn_idx, ts,
+     SUM(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+   FROM g),
+ per AS (
+   SELECT conv_id, session_id, COUNT(*) AS n_turns,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+   FROM s GROUP BY 1, 2)
+ SELECT conv_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+        MAX(n_turns) AS max_session_turns, CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+        MAX(span_us) AS max_session_span_us
+ FROM per GROUP BY 1"""
+)
+
+
+def q_pivot_role_severity(spark, sf_dir):
+    """Pivot: one row per role, one count column per severity bucket."""
+    routed = _routed(spark, sf_dir)
+    p = (
+        routed.groupBy("role")
+        .pivot("severity_num", [1, 5, 9, 13, 17])
+        .count()
+        .na.fill(0)
+    )
+    return p.select(
+        "role",
+        F.col("1").alias("n_trace"),
+        F.col("5").alias("n_debug"),
+        F.col("9").alias("n_info"),
+        F.col("13").alias("n_warn"),
+        F.col("17").alias("n_error"),
+    )
+
+
+O_PIVOT_ROLE_SEVERITY = (
+    transcripts_cte()
+    + """
+ , e AS (
+   SELECT role,
+     CASE lower(CASE WHEN style IN (0,1,2,3) THEN lvl ELSE 'info' END)
+       WHEN 'trace' THEN 1 WHEN 'debug' THEN 5 WHEN 'info' THEN 9
+       WHEN 'warn' THEN 13 WHEN 'warning' THEN 13 WHEN 'error' THEN 17
+       WHEN 'fatal' THEN 21 ELSE 9 END AS sev
+   FROM t)
+ SELECT role,
+   CAST(SUM(CASE WHEN sev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_trace,
+   CAST(SUM(CASE WHEN sev = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_debug,
+   CAST(SUM(CASE WHEN sev = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_info,
+   CAST(SUM(CASE WHEN sev = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_warn,
+   CAST(SUM(CASE WHEN sev = 17 THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+ FROM e GROUP BY 1"""
+)
+
+
+def q_rollup_role_style(spark, sf_dir):
+    """Grouping sets via rollup: counts at (role, style), (role), ()."""
+    from otel_logger_spark.graftdata import load_events_transcripts
+
+    t = load_events_transcripts(spark, sf_dir)
+    return (
+        t.rollup("role", "style")
+        .agg(F.count("*").alias("n"))
+        .select("role", "style", "n")
+    )
+
+
+O_ROLLUP_ROLE_STYLE = (
+    transcripts_cte()
+    + " SELECT role, style, COUNT(*) AS n FROM t GROUP BY ROLLUP (role, style)"
+)
+
+
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct per role (rows-only: approximation differs by
+    engine; pytest bounds its error against the exact count)."""
+    from otel_logger_spark.graftdata import load_events_transcripts
+
+    t = load_events_transcripts(spark, sf_dir)
+    return t.groupBy("role").agg(
+        F.approx_count_distinct("conv_id").alias("approx_convs"),
+        F.countDistinct("conv_id").alias("exact_convs"),
+    )
+
+
+QUERIES_X = {
+    "sessionization": q_sessionization,
+    "pivot_role_severity": q_pivot_role_severity,
+    "rollup_role_style": q_rollup_role_style,
+    "approx_distinct": q_approx_distinct,
+}
+
+ORACLES_X = {
+    "sessionization": O_SESSIONIZATION,
+    "pivot_role_severity": O_PIVOT_ROLE_SEVERITY,
+    "rollup_role_style": O_ROLLUP_ROLE_STYLE,
+}

@@ -64,12 +64,15 @@ def parquet_partition_lineage(path: str) -> list[dict]:
     files; on object storage they're ranged GETs)."""
     import pyarrow.parquet as pq
 
+    files = []
+    for root, _, names in os.walk(path):  # recurse: partitionBy layouts nest
+        for name in names:
+            if name.endswith(".parquet"):
+                files.append(os.path.relpath(os.path.join(root, name), path))
     parts = []
-    for i, name in enumerate(sorted(os.listdir(path))):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.read_metadata(os.path.join(path, name))
-        parts.append({"partition_id": i, "n_rows": md.num_rows, "file": name})
+    for i, rel in enumerate(sorted(files)):
+        md = pq.read_metadata(os.path.join(path, rel))
+        parts.append({"partition_id": i, "n_rows": md.num_rows, "file": rel})
     return parts
 
 
@@ -115,7 +118,9 @@ OUT_COLS = [
 ]
 
 
-def _write_one(df: DataFrame, path: str, fmt: str) -> tuple[int, list[dict]]:
+def _write_one(
+    df: DataFrame, path: str, fmt: str, partition_by: list[str] | None = None
+) -> tuple[int, list[dict]]:
     if fmt == "json":
         obs = Observation()
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").json(path)
@@ -123,7 +128,12 @@ def _write_one(df: DataFrame, path: str, fmt: str) -> tuple[int, list[dict]]:
     # snappy on the sink critical path (encode ~3x faster than zstd);
     # storage-economy runs can override via OTEL_SPARK_SINK_CODEC=zstd
     codec = os.environ.get("OTEL_SPARK_SINK_CODEC", "snappy")
-    df.write.mode("overwrite").option("compression", codec).parquet(path)
+    w = df.write.mode("overwrite").option("compression", codec)
+    if partition_by:
+        # date-partitioned layout: partition pruning for time-ranged reads
+        # (the parquet stand-in for Iceberg's day(ts) partition spec)
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
     parts = parquet_partition_lineage(path)
     return sum(p["n_rows"] for p in parts), parts
 
@@ -136,6 +146,7 @@ def write_routed_sinks(
     persist: bool | None = None,
     passthrough_raw: bool = False,
     sink_format: str | None = None,
+    partition_logs_by_date: bool = False,
 ) -> dict:
     """Fan out the routed frame to the four sinks. ``routed`` must carry
     is_error / is_tool_call (see route.with_routing) and the parsed columns.
@@ -167,7 +178,15 @@ def write_routed_sinks(
         logs_path = os.path.join(out_dir, SINK_LOGS)
         if SINK_LOGS not in done:
             t0 = time.monotonic()
-            n, parts = _write_one(base, logs_path, fmt)
+            if partition_logs_by_date:
+                n, parts = _write_one(
+                    base.withColumn("event_date", F.to_date("event_ts")),
+                    logs_path,
+                    fmt,
+                    partition_by=["event_date"],
+                )
+            else:
+                n, parts = _write_one(base, logs_path, fmt)
             _commit(manifest, out_dir, SINK_LOGS, logs_path, n, t0, parts)
 
         # derive the remaining sinks from the staged table (or the persisted

@@ -49,3 +49,23 @@ def test_passthrough_tee_and_json_format(spark, tmp_path):
     raw = spark.read.json(os.path.join(out, "raw"))
     assert set(raw.columns) == {"conv_id", "turn_idx", "role", "raw"}
     assert raw.count() == manifest["sinks"]["raw"]["n_rows"]
+
+
+def test_date_partitioned_logs_sink(spark, tmp_path):
+    src = str(tmp_path / "t2.parquet")
+    write_transcripts(src, n_convs=10, seed=6)
+    routed = build_parsed(spark.read.parquet(src))
+    out = str(tmp_path / "out2")
+    manifest = write_routed_sinks(
+        routed, None, out, run_id="p1", partition_logs_by_date=True
+    )
+    logs_dir = os.path.join(out, "logs")
+    subdirs = [d for d in os.listdir(logs_dir) if d.startswith("event_date=")]
+    assert subdirs, "expected hive-style date partitions"
+    logs = spark.read.parquet(logs_dir)
+    assert "event_date" in logs.columns
+    assert logs.count() == manifest["sinks"]["logs"]["n_rows"]
+    # footer lineage recursed into the partition dirs
+    assert sum(p["n_rows"] for p in manifest["sinks"]["logs"]["partitions"]) == logs.count()
+    # derived sinks still consistent when reading a partitioned staged table
+    assert manifest["sinks"]["error"]["n_rows"] == logs.filter("severity_num >= 17").count()

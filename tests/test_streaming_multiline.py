@@ -1,0 +1,84 @@
+"""Cross-micro-batch multiline coalescing: an entry whose continuation
+lines arrive in a LATER micro-batch must still coalesce (state keyed by
+conv_id), and closed entries must match the batch coalescer exactly."""
+
+import os
+import time
+from datetime import datetime
+
+import pandas as pd
+
+from otel_logger_spark.operators.multiline import coalesce_entries
+from otel_logger_spark.streaming.multiline_state import coalesce_entries_stream
+from otel_logger_spark.schemas import TRANSCRIPT_SCHEMA
+
+TS = datetime(2024, 1, 15, 10, 30, 0)
+
+BATCH_1 = [  # ends mid-entry: the ERROR entry is still open
+    ("c1", 0, "assistant", "2024-01-15T10:30:00Z INFO start", None, TS),
+    ("c1", 1, "assistant", "2024-01-15T10:30:05Z ERROR boom", None, TS),
+    ("c1", 2, "assistant", "  at Frame.one(File.java:1)", None, TS),
+]
+BATCH_2 = [  # continuation of the open entry arrives in a new file/batch
+    ("c1", 3, "assistant", "  at Frame.two(File.java:2)", None, TS),
+    ("c1", 4, "assistant", "2024-01-15T10:30:09Z INFO done", None, TS),
+    ("c2", 0, "assistant", "  orphan in new conv", None, TS),
+    ("c2", 1, "assistant", "2024-01-15T10:30:10Z WARN w", None, TS),
+]
+
+
+def _write_batch(d, name, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32", "ts": "datetime64[us]", "tool": "string"})
+    pdf.to_parquet(os.path.join(d, name), index=False)
+
+
+def test_cross_batch_multiline(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_name = "ml_out"
+    _write_batch(in_dir, "b1.parquet", BATCH_1)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    entries = coalesce_entries_stream(stream, idle_flush_ms=2000)
+    q = (
+        entries.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait for batch 1 to process, then drop batch 2 in
+        time.sleep(4)
+        _write_batch(in_dir, "b2.parquet", BATCH_2)
+        # wait for batch 2 + idle-timeout flush of the final open entries
+        deadline = time.monotonic() + 60
+        expected_texts = {
+            "2024-01-15T10:30:00Z INFO start",
+            "2024-01-15T10:30:05Z ERROR boom\n  at Frame.one(File.java:1)\n  at Frame.two(File.java:2)",
+            "2024-01-15T10:30:09Z INFO done",
+            "2024-01-15T10:30:10Z WARN w",
+        }
+        got = set()
+        while time.monotonic() < deadline:
+            got = {
+                r["text"] for r in spark.sql(f"SELECT * FROM {out_name}").collect()
+            }
+            if got == expected_texts:
+                break
+            time.sleep(2)
+        assert got == expected_texts
+    finally:
+        q.stop()
+
+    # and the closed-entry set matches the batch coalescer on the same data
+    batch_df = spark.read.parquet(in_dir)
+    batch_entries = {r["text"] for r in coalesce_entries(batch_df).collect()}
+    assert got == batch_entries

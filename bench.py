@@ -64,6 +64,12 @@ def main():
         run("pricing_summary", lambda: Q.q_pricing_summary(spark, sf_dir).collect())
         run("top_revenue_orders", lambda: Q.q_top_revenue_orders(spark, sf_dir).collect())
         run("region_rollup", lambda: Q.q_region_rollup(spark, sf_dir).collect())
+
+        from otel_logger_spark import queries_training as QT
+
+        run("dedup_minhash", lambda: QT.q_minhash_pairs(spark, sf_dir).count())
+        run("embedding_topk", lambda: QT.q_embedding_topk(spark, sf_dir).collect())
+        run("text_quality", lambda: QT.q_text_quality(spark, sf_dir).collect())
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

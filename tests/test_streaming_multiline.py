@@ -55,11 +55,14 @@ def test_cross_batch_multiline(spark, tmp_path):
         .start()
     )
     try:
-        # wait for batch 1 to process, then drop batch 2 in
-        time.sleep(4)
+        # wait until batch 1's closed entry is emitted, then drop batch 2 in
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.sql(f"SELECT * FROM {out_name}").count() >= 1:
+                break
+            time.sleep(1)
         _write_batch(in_dir, "b2.parquet", BATCH_2)
         # wait for batch 2 + idle-timeout flush of the final open entries
-        deadline = time.monotonic() + 60
         expected_texts = {
             "2024-01-15T10:30:00Z INFO start",
             "2024-01-15T10:30:05Z ERROR boom\n  at Frame.one(File.java:1)\n  at Frame.two(File.java:2)",
@@ -67,6 +70,7 @@ def test_cross_batch_multiline(spark, tmp_path):
             "2024-01-15T10:30:10Z WARN w",
         }
         got = set()
+        deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
             got = {
                 r["text"] for r in spark.sql(f"SELECT * FROM {out_name}").collect()

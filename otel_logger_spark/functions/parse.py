@@ -57,6 +57,10 @@ DEFAULT_MESSAGE = "Log entry"
 
 def extract_json(line: str, prefix_re: re.Pattern = DEFAULT_PREFIX_RE) -> str:
     """ExtractJSON (main.go:156-171): last capture group if nonempty."""
+    if prefix_re is DEFAULT_PREFIX_RE and line and line[0] == "{":
+        # fast path: the default prefix starts with \d{4}, so a '{' line has
+        # an empty prefix group and group2 == line — skip the regex
+        return line
     m = prefix_re.search(line)
     if m is None:
         return line
@@ -122,6 +126,11 @@ def parse_entry(
     the row's own ts.
     """
     json_str = extract_json(line, prefix_re)
+    # cheap pre-check: an Unmarshal-into-map can only succeed when the first
+    # non-space byte is '{' — skips the exception machinery for plain text
+    c = json_str[:1]
+    if c != "{" and (c not in " \t\r\n" or json_str.lstrip()[:1] != "{"):
+        return None, DEFAULT_LEVEL, line.strip(), {}, False
     try:
         data = json.loads(json_str, parse_constant=_reject_const)
         if not isinstance(data, dict):

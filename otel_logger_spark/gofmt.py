@@ -69,6 +69,13 @@ def go_float_g(f: float) -> str:
     neg = math.copysign(1.0, f) < 0
     if f == 0:
         return "-0" if neg else "0"
+    # fast path: inside Go's fixed-notation range [1e-4, 1e6) Python's repr
+    # is also fixed-notation with identical shortest digits
+    a = abs(f)
+    if 1e-4 <= a < 1e6:
+        r = repr(f)
+        if "e" not in r:
+            return r[:-2] if r.endswith(".0") else r
     ds, dp = _shortest_digits(f)
     exp = dp - 1
     if exp < -4 or exp >= 6:
@@ -85,6 +92,12 @@ def go_json_float(f: float) -> str:
     if f == 0:
         return "-0" if neg else "0"
     a = abs(f)
+    # fast path: json is fixed-notation on [1e-6, 1e21); Python repr is
+    # fixed (same shortest digits) up to 1e16
+    if 1e-6 <= a < 1e16:
+        r = repr(f)
+        if "e" not in r:
+            return r[:-2] if r.endswith(".0") else r
     ds, dp = _shortest_digits(f)
     if a < 1e-6 or a >= 1e21:
         out = _fmt_sci(ds, dp, 2)
@@ -110,7 +123,14 @@ _STRING_ESCAPES = {
 }
 
 
+import re as _re
+
+_NEEDS_ESCAPE = _re.compile(r'["\\<>&\u2028\u2029\x00-\x1f]')
+
+
 def _go_json_string(s: str) -> str:
+    if not _NEEDS_ESCAPE.search(s):  # overwhelmingly common
+        return f'"{s}"'
     out = ['"']
     for ch in s:
         esc = _STRING_ESCAPES.get(ch)
@@ -135,8 +155,10 @@ def go_json_dumps(v) -> str:
     if isinstance(v, str):
         return _go_json_string(v)
     if isinstance(v, int):
-        # Python preserved an exact integer where Go holds float64; render
-        # via the float64 path to match Go byte-for-byte.
+        # Python preserved an exact integer where Go holds float64; while
+        # exactly representable (|v| < 2^53 < 1e21) Go renders plain digits
+        if -(2**53) < v < 2**53:
+            return str(v)
         return go_json_float(float(v))
     if isinstance(v, float):
         return go_json_float(v)
@@ -151,16 +173,21 @@ def go_json_dumps(v) -> str:
 def go_v(v) -> str:
     """``fmt.Sprintf("%v", v)`` over values produced by json.Unmarshal,
     matching the scalar branch at /root/reference/main.go:291-293."""
+    if isinstance(v, str):
+        return v
     if v is None:
         return "<nil>"
     if v is True:
         return "true"
     if v is False:
         return "false"
-    if isinstance(v, str):
-        return v
-    if isinstance(v, (int, float)):
+    if isinstance(v, int):
+        # Go holds float64; %v is plain digits while |v| < 1e6 (exp < 6)
+        if -1_000_000 < v < 1_000_000:
+            return str(v)
         return go_float_g(float(v))
+    if isinstance(v, float):
+        return go_float_g(v)
     raise TypeError(f"unsupported scalar: {type(v)}")
 
 

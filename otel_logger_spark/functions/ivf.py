@@ -1,0 +1,141 @@
+"""IVF (inverted-file) approximate nearest neighbor: the coarse-quantizer
+scale path complementing the hyperplane-LSH variant (similarity.py).
+
+Train: a few Lloyd iterations of k-means over a deterministic seeded sample
+(distributed: assignment is a map over the corpus with broadcast centroids;
+update is a groupBy mean). Index: each vector is assigned to its nearest
+centroid (the inverted list). Search: a query probes only the ``n_probe``
+nearest centroid lists — candidate volume drops by ~k/n_probe versus brute
+force, and the probe join is a broadcast equi-join on cluster id.
+
+All distance math runs in JVM higher-order functions; centroids travel as
+broadcast literals. Determinism: seeded sample + fixed iteration count, so
+the index is identical across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from otel_logger_spark.functions.similarity import _dot, with_norm
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.transform(vec_col, lambda x: x.cast("double")))
+
+
+def train_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    sample: int = 2048,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Driver-side Lloyd over a seeded sample (the standard IVF recipe:
+    training is tiny relative to the corpus; indexing/search stay
+    distributed)."""
+    rows = (
+        _as_double(corpus, vec_col)
+        .select(vec_col)
+        .orderBy(F.xxhash64(F.to_json(F.struct(vec_col)), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(0)
+    return cents.tolist()
+
+
+def _nearest_centroid_cols(vec_col: str, centroids: list[list[float]], n: int = 1):
+    """Expression computing the id(s) of the n nearest centroids (L2)."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.slice(F.array_sort(dists), 1, n)
+    return F.transform(ranked, lambda s: s["cid"])
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its inverted list (one pass, no shuffle)."""
+    d = _as_double(corpus, vec_col)
+    return d.withColumn(
+        "cluster_id", _nearest_centroid_cols(vec_col, centroids, 1)[0]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF search: probe the n_probe nearest lists, exact cosine within."""
+    centroids = train_centroids(corpus, k=n_clusters, vec_col=vec_col, seed=seed)
+    indexed = with_norm(ivf_index(corpus, centroids, id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        "cluster_id",
+    )
+    q = with_norm(_as_double(queries, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.explode(
+            _nearest_centroid_cols(vec_col, centroids, n_probe)
+        ).alias("cluster_id"),
+    )
+    sims = (
+        indexed.join(F.broadcast(q), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim_micro",
+            F.floor(
+                F.lit(1_000_000)
+                * _dot(F.col("_cv"), F.col("_qv"))
+                / (F.col("_cn") * F.col("_qn"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "sim_micro", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -167,6 +167,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(emb, queries, k=5, n_planes=6, n_tables=8, dim=64)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only gate; pytest measures recall and
+    index determinism)."""
+    from otel_logger_spark.functions.ivf import ivf_topk
+
+    emb = _load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+
+
 # --- text analysis ---------------------------------------------------------------
 
 
@@ -274,6 +284,7 @@ QUERIES_C = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,

@@ -174,3 +174,27 @@ def test_multimodal_plumbing(spark, docs):
     # determinism: same payload -> same phash
     again = {r["doc_id"]: r["phash"] for r in decode_media(media).collect()}
     assert again == {i: r["phash"] for i, r in byid.items()}
+
+
+def test_ivf_ann_recall(spark, emb):
+    from otel_logger_spark.functions.ivf import ivf_topk, train_centroids, ivf_index
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=4).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
+    # determinism: same seed -> identical centroids and assignments
+    c1 = train_centroids(emb, k=8, seed=42)
+    c2 = train_centroids(emb, k=8, seed=42)
+    assert c1 == c2
+    a1 = {(r["vec_id"], r["cluster_id"]) for r in ivf_index(emb, c1).collect()}
+    a2 = {(r["vec_id"], r["cluster_id"]) for r in ivf_index(emb, c2).collect()}
+    assert a1 == a2
+    # every vector landed in exactly one inverted list
+    assert len(a1) == emb.count()

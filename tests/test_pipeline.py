@@ -162,3 +162,38 @@ def test_parse_udf_matches_pure_function(spark, transcripts):
             assert r["event_ts"] == r["ts"]
         else:
             assert r["event_ts"] == ets.replace(tzinfo=None)
+
+
+def test_extreme_skew_conversation(spark, tmp_path):
+    """One conversation 1000x bigger than the rest must coalesce/aggregate
+    correctly (AQE-split shuffle; window needs the conv co-partitioned)."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    rows = []
+    t0 = datetime(2024, 1, 15)
+    for i in range(20000):  # hot conversation: alternating start/cont lines
+        text = "  cont line" if i % 3 else f"2024-01-15T10:30:00Z INFO m{i}"
+        rows.append(("hot", i, "assistant", text, None, t0 + timedelta(seconds=i)))
+    for c in range(50):  # normal conversations
+        for i in range(10):
+            rows.append((f"c{c}", i, "user", f"msg {i}", None, t0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]).astype(
+        {"turn_idx": "int32", "ts": "datetime64[us]", "tool": "string"}
+    )
+    src = str(tmp_path / "skew.parquet")
+    pdf.to_parquet(src, index=False)
+    routed = build_parsed(spark.read.parquet(src), repartition=8)
+    m = {r["conv_id"]: r for r in conversation_metrics(routed).collect()}
+    # hot conv: starts at i%3==0 -> 6667 entries + soaks up its continuations
+    assert m["hot"]["n_entries"] == len([i for i in range(20000) if i % 3 == 0])
+    # entry turn_idx is the START line's index; 19999 is a continuation
+    assert m["hot"]["last_turn_idx"] == 19998
+    assert all(m[f"c{c}"]["n_entries"] == 10 for c in range(50))
+    # salted variant agrees under skew
+    from otel_logger_spark.operators.skew import conversation_metrics_salted
+
+    ms = {r["conv_id"]: r for r in conversation_metrics_salted(routed, 8).collect()}
+    assert {k: v["n_entries"] for k, v in ms.items()} == {
+        k: v["n_entries"] for k, v in m.items()
+    }

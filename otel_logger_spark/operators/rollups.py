@@ -83,6 +83,26 @@ def top_k_noisy(df: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def median_gap_us(df: DataFrame) -> DataFrame:
+    """Per-conversation MEDIAN inter-turn gap via a grouped-agg pandas UDF —
+    the §2.9 grouped-aggregate UDF surface ("custom conversation metrics not
+    expressible in builtins"; exact medians aren't a builtin aggregate,
+    percentile_approx is approximate). Gap computed JVM-side with a window;
+    only the final aggregate crosses into Python (Arrow-batched per group).
+    """
+    from otel_logger_spark.functions.aggudf import p50_long as p50
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts = F.col("ts").cast("timestamp")
+    gaps = df.withColumn(
+        "_gap_us", F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    )
+    # grouped-agg pandas UDFs can't mix with builtin aggregates in one agg
+    med = gaps.groupBy("conv_id").agg(p50(F.col("_gap_us")).alias("p50_gap_us"))
+    counts = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    return med.join(counts, "conv_id")
+
+
 def flush_window_counts(df: DataFrame, interval: str = "5 seconds") -> DataFrame:
     """Event-time tumbling-window counts mirroring the forwarder's
     FlushInterval batching (main.go:38,354-358): how many records each 5s

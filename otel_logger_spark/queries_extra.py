@@ -113,7 +113,29 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_median_gap(spark, sf_dir):
+    from otel_logger_spark.graftdata import load_events_transcripts
+    from otel_logger_spark.operators.rollups import median_gap_us
+
+    t = load_events_transcripts(spark, sf_dir)
+    return median_gap_us(t)
+
+
+O_MEDIAN_GAP = (
+    transcripts_cte()
+    + """
+ , g AS (
+   SELECT conv_id,
+     epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+   FROM t)
+ SELECT conv_id, CAST(FLOOR(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_gap_us,
+        COUNT(*) AS n_turns
+ FROM g GROUP BY 1"""
+)
+
+
 QUERIES_X = {
+    "median_gap": q_median_gap,
     "sessionization": q_sessionization,
     "pivot_role_severity": q_pivot_role_severity,
     "rollup_role_style": q_rollup_role_style,
@@ -121,6 +143,7 @@ QUERIES_X = {
 }
 
 ORACLES_X = {
+    "median_gap": O_MEDIAN_GAP,
     "sessionization": O_SESSIONIZATION,
     "pivot_role_severity": O_PIVOT_ROLE_SEVERITY,
     "rollup_role_style": O_ROLLUP_ROLE_STYLE,

@@ -67,6 +67,84 @@ def _decode_fake(data: bytes, kind: str) -> tuple[int, int, int]:
     return width, height, phash
 
 
+def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stage: binary in, binary out with updated metadata. The codec
+    is stubbed (deterministic byte-fold standing in for a real resampler),
+    the Spark plumbing — binary column through Arrow batches, metadata map
+    update — is real."""
+
+    def run(batches):
+        for pdf in batches:
+            out_bytes = []
+            for data in pdf["data"]:
+                b = bytes(data) if data is not None else b""
+                target = max(1, (width * height) // 64)
+                folded = (b * ((target // max(len(b), 1)) + 1))[:target]
+                out_bytes.append(folded)
+            meta = pdf["media_meta"].map(
+                lambda m: {**(m or {}), "resized": f"{width}x{height}"}
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "data": out_bytes,
+                    "media_meta": meta,
+                }
+            )
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (frame payloads are deterministic byte slices — the stub — but the
+    row-explosion shape, schema and batch iteration are the real pipeline).
+    Non-video rows pass through as a single frame 0."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "kind": [], "frame_idx": [], "frame": []}
+            for doc_id, kind, data in zip(pdf["doc_id"], pdf["kind"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                if kind == "video" and len(b) > every_n:
+                    n = min(max_frames, max(1, len(b) // every_n))
+                    for f in range(n):
+                        rows["doc_id"].append(doc_id)
+                        rows["kind"].append(kind)
+                        rows["frame_idx"].append(f * every_n)
+                        rows["frame"].append(b[f * every_n : f * every_n + every_n])
+                else:
+                    rows["doc_id"].append(doc_id)
+                    rows["kind"].append(kind)
+                    rows["frame_idx"].append(0)
+                    rows["frame"].append(b)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id bigint, kind string, frame_idx int, frame binary"
+    )
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction stage: payload -> fixed-width float vector. The
+    featurizer is a deterministic digest fold (model inference is stubbed);
+    output shape matches what an embedding column consumer expects
+    (array<float>, unit scale)."""
+
+    def run(batches):
+        for pdf in batches:
+            vecs = []
+            for data in pdf["data"]:
+                b = bytes(data) if data is not None else b""
+                d = hashlib.sha256(b).digest()
+                raw = [d[i % 32] for i in range(dim)]
+                vecs.append([round(x / 255.0, 6) for x in raw])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": vecs})
+
+    return df.mapInPandas(run, "doc_id bigint, features array<float>")
+
+
 def decode_media(df: DataFrame, use_real: bool = False) -> DataFrame:
     """mapInPandas decode stage: binary in, typed metadata out. Batches are
     Arrow-sized, so executor memory is bounded by

@@ -198,3 +198,38 @@ def test_ivf_ann_recall(spark, emb):
     assert a1 == a2
     # every vector landed in exactly one inverted list
     assert len(a1) == emb.count()
+
+
+def test_multimodal_resize_frames_features(spark, docs):
+    from otel_logger_spark.functions.multimodal import (
+        as_media, resize_media, sample_frames, extract_features,
+    )
+
+    media = as_media(docs.limit(60))
+    resized = resize_media(media, 224, 224)
+    assert dict(resized.dtypes)["data"] == "binary"
+    r = resized.collect()
+    assert all(len(bytes(x["data"])) == (224 * 224) // 64 for x in r)
+    assert all(x["media_meta"]["resized"] == "224x224" for x in r)
+
+    frames = sample_frames(media, every_n=16, max_frames=3)
+    f = frames.collect()
+    by_doc = {}
+    for x in f:
+        by_doc.setdefault(x["doc_id"], []).append(x)
+    for doc_id, fs in by_doc.items():
+        kinds = {x["kind"] for x in fs}
+        if kinds == {"video"}:
+            assert 1 <= len(fs) <= 3
+            assert [x["frame_idx"] for x in sorted(fs, key=lambda y: y["frame_idx"])] == [
+                i * 16 for i in range(len(fs))
+            ]
+        else:
+            assert len(fs) == 1 and fs[0]["frame_idx"] == 0
+
+    feats = extract_features(media, dim=16).collect()
+    assert all(len(x["features"]) == 16 for x in feats)
+    assert all(0.0 <= v <= 1.0 for x in feats for v in x["features"])
+    # determinism
+    again = {x["doc_id"]: x["features"] for x in extract_features(media, dim=16).collect()}
+    assert again == {x["doc_id"]: x["features"] for x in feats}

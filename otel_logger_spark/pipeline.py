@@ -79,7 +79,9 @@ def run_pipeline(
 ) -> dict:
     """Execute the full pipeline and commit all sinks; returns the lineage
     manifest (per-sink row counts — the correctness gate's numbers)."""
-    transcripts = spark.read.parquet(input_path)
+    from otel_logger_spark.io import read_table
+
+    transcripts = read_table(spark, input_path)
     routed = build_parsed(
         transcripts, coalesce_multiline=coalesce_multiline, repartition=repartition
     )

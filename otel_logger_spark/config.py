@@ -22,6 +22,7 @@ run against this engine:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from otel_logger_spark.functions.parse import (
@@ -30,6 +31,36 @@ from otel_logger_spark.functions.parse import (
     DEFAULT_TIMESTAMP_FIELDS,
 )
 from otel_logger_spark.operators.multiline import DEFAULT_CONTINUATION_PATTERN
+
+# Go time.Duration syntax (time.ParseDuration): signless sequence of
+# decimal+unit parts, e.g. "500ms", "1m", "2m30s", "1.5h".
+_GO_DURATION_PART = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_UNIT_MS = {
+    "ns": 1e-6,
+    "us": 1e-3,
+    "µs": 1e-3,
+    "ms": 1.0,
+    "s": 1000.0,
+    "m": 60_000.0,
+    "h": 3_600_000.0,
+}
+
+
+def go_duration_to_interval(s: str) -> str:
+    """Convert a Go duration string ("500ms", "2m30s", "1.5h") to a Spark
+    interval string, matching the reference's time.Duration flag parsing
+    (main.go:38 --flush-interval). Raises ValueError on syntax Go rejects."""
+    s = s.strip()
+    pos = 0
+    total_ms = 0.0
+    for m in _GO_DURATION_PART.finditer(s):
+        if m.start() != pos:
+            raise ValueError(f"invalid duration {s!r}")
+        total_ms += float(m.group(1)) * _UNIT_MS[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise ValueError(f"invalid duration {s!r}")
+    return f"{int(round(total_ms))} milliseconds"
 
 
 @dataclass
@@ -76,7 +107,7 @@ class PipelineConfig:
                 cfg.batch_size = int(argv[i + 1])
                 i += 2
             elif a == "--flush-interval":
-                cfg.flush_interval = argv[i + 1].replace("s", " seconds")
+                cfg.flush_interval = go_duration_to_interval(argv[i + 1])
                 i += 2
             elif a == "--passthrough-stdout" or a == "--passthrough-stderr":
                 cfg.passthrough_raw_sink = True

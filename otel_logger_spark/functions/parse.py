@@ -101,7 +101,14 @@ def parse_go_timestamp(s: str) -> datetime | None:
     if tz and tz != "Z":
         sign = 1 if tz[0] == "+" else -1
         off = timedelta(hours=int(tz[1:3]), minutes=int(tz[4:6]))
-        dt = dt - sign * off
+        try:
+            dt = dt - sign * off
+        except OverflowError:
+            # 0001-01-01T00:00:00+01:00 / 9999-12-31T23:59:59-01:00 leave
+            # Python's datetime range; Go's time.Time handles them, but the
+            # zero-rows-dropped invariant wins — treat as unparseable and let
+            # the caller fall back to the row ts.
+            return None
     return dt.replace(tzinfo=timezone.utc)
 
 
@@ -110,6 +117,19 @@ def parse_go_timestamp(s: str) -> datetime | None:
 
 def _reject_const(name):  # Go json has no NaN/Infinity literals
     raise ValueError(name)
+
+
+# json.loads accepts lone-surrogate escapes (e.g. {"a":"\ud800"} is valid
+# JSON text) but the resulting string is not UTF-8-encodable, so Arrow
+# serialization of the UDF output would kill the task. Go's json.Unmarshal
+# replaces each invalid surrogate with U+FFFD (main.go Unmarshal semantics);
+# mirror that. Unpaired surrogates can ONLY enter via \uXXXX escapes (raw
+# Spark strings are already valid UTF-8), so callers gate on '\\u' presence.
+_SURROGATE_RE = re.compile("[\ud800-\udfff]")
+
+
+def _scrub_surrogates(s: str) -> str:
+    return _SURROGATE_RE.sub("�", s)
 
 
 def parse_entry(
@@ -180,6 +200,12 @@ def parse_entry(
         message = DEFAULT_MESSAGE
 
     attrs = {k: render_attr(v) for k, v in data.items()}
+    if "\\u" in json_str:  # only escapes can smuggle in lone surrogates
+        level = _scrub_surrogates(level)
+        message = _scrub_surrogates(message)
+        attrs = {
+            _scrub_surrogates(k): _scrub_surrogates(v) for k, v in attrs.items()
+        }
     return event_ts, level, message, attrs, True
 
 

@@ -219,3 +219,40 @@ def test_nested_attrs_marshaled():
         "ratio": "0.75",
         "count": "42",
     }
+
+
+# --- crash-safety fixes (round 2 advice) -------------------------------------
+
+
+def test_parse_timestamp_tz_offset_out_of_range():
+    # Go's time.Time represents these; Python's datetime cannot — the
+    # zero-rows-dropped invariant demands graceful None, not OverflowError.
+    assert parse_go_timestamp("0001-01-01T00:00:00+01:00") is None
+    assert parse_go_timestamp("9999-12-31T23:59:59-01:00") is None
+    # in-range offsets near the edges still parse
+    assert parse_go_timestamp("0001-01-01T02:00:00+01:00") == utc(1, 1, 1, 1)
+
+
+def test_parse_timestamp_overflow_falls_back_in_entry():
+    ets, level, msg, attrs, ok = parse_entry(
+        '{"ts":"0001-01-01T00:00:00+01:00","level":"warn","message":"m"}'
+    )
+    assert ets is None and ok and level == "warn" and msg == "m"
+
+
+def test_lone_surrogate_escapes_scrubbed():
+    # {"a":"\ud800"} is valid JSON text; Go's Unmarshal yields U+FFFD.
+    ets, level, msg, attrs, ok = parse_entry(
+        '{"message":"bad \\ud800 one","level":"\\udfff","k\\ud801":"v\\ud802"}'
+    )
+    assert ok
+    assert msg == "bad � one"
+    assert level == "�"
+    assert attrs == {"k�": "v�"}
+    for s in (msg, level, *attrs, *attrs.values()):
+        s.encode("utf-8")  # Arrow-serializable
+
+
+def test_valid_surrogate_pairs_untouched():
+    ets, level, msg, attrs, ok = parse_entry('{"message":"hi \\ud83d\\ude00"}')
+    assert msg == "hi \U0001f600"

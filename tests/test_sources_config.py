@@ -67,8 +67,24 @@ def test_config_reference_args():
     assert cfg.message_fields == ("message", "msg", "text", "content")  # defaults kept
     assert cfg.continuation_pattern == r"^\.\.\."
     assert cfg.batch_size == 500
-    assert cfg.flush_interval == "1 seconds"
+    assert cfg.flush_interval == "1000 milliseconds"
     assert cfg.passthrough_raw_sink
+
+
+def test_config_go_durations():
+    import pytest
+
+    from otel_logger_spark.config import go_duration_to_interval
+
+    # Go time.Duration syntax (flag --flush-interval, main.go:38)
+    assert go_duration_to_interval("500ms") == "500 milliseconds"
+    assert go_duration_to_interval("1m") == "60000 milliseconds"
+    assert go_duration_to_interval("2m30s") == "150000 milliseconds"
+    assert go_duration_to_interval("1.5h") == "5400000 milliseconds"
+    assert go_duration_to_interval("100us") == "0 milliseconds"
+    for bad in ("", "5", "s", "5x", "5s5", "ms5"):
+        with pytest.raises(ValueError):
+            go_duration_to_interval(bad)
 
 
 def test_custom_field_mapping_pipeline(spark, tmp_path):

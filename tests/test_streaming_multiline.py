@@ -38,14 +38,21 @@ def test_cross_batch_multiline(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
     out_name = "ml_out"
+    # Both files exist BEFORE start(): maxFilesPerTrigger=1 then splits them
+    # into two micro-batches deterministically (no wall-clock poll-then-write
+    # race — round-1 flake was the idle timeout firing while the test slept
+    # between writing the files).
     _write_batch(in_dir, "b1.parquet", BATCH_1)
+    _write_batch(in_dir, "b2.parquet", BATCH_2)
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    entries = coalesce_entries_stream(stream, idle_flush_ms=2000)
+    # idle_flush_ms must exceed any plausible gap between consecutive
+    # triggers (both files are already listed, so the gap is ~1 trigger).
+    entries = coalesce_entries_stream(stream, idle_flush_ms=15_000)
     q = (
         entries.writeStream.outputMode("append")
         .format("memory")
@@ -55,13 +62,6 @@ def test_cross_batch_multiline(spark, tmp_path):
         .start()
     )
     try:
-        # wait until batch 1's closed entry is emitted, then drop batch 2 in
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            if spark.sql(f"SELECT * FROM {out_name}").count() >= 1:
-                break
-            time.sleep(1)
-        _write_batch(in_dir, "b2.parquet", BATCH_2)
         # wait for batch 2 + idle-timeout flush of the final open entries
         expected_texts = {
             "2024-01-15T10:30:00Z INFO start",

@@ -153,10 +153,24 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, bands: int = 8, rows: int = 4, id_col: str = "doc_id"
+    sig: DataFrame,
+    bands: int = 8,
+    rows: int = 4,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Band the signature (bands x rows = k); docs sharing any band bucket
-    are candidate pairs."""
+    are candidate pairs.
+
+    ``max_bucket`` is the hot-bucket guard: a bucket with more than
+    max_bucket members is excluded from the self-join (a degenerate corpus
+    — millions of near-identical docs landing in one bucket — would
+    otherwise make that bucket quadratic). The count is a window over the
+    same (band, bucket) partitioning the join shuffles on, so the guard
+    adds no extra shuffle. Members of a capped bucket are near-identical by
+    construction; run exact dedup (drop_exact_dups) first so such families
+    are already collapsed, and treat a still-hot bucket as one dup family
+    rather than enumerating its O(n^2) pairs. None disables the cap."""
     banded = sig.select(
         id_col,
         F.explode(
@@ -179,6 +193,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("_bn", F.count("*").over(w)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -199,10 +218,13 @@ def minhash_dedup_pairs(
     rows: int = 4,
     n: int = 3,
     id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (verify only candidates —
     the scalable near-dup shape)."""
-    cands = minhash_lsh_candidates(minhash_signatures(df, k, n, id_col), bands, rows, id_col)
+    cands = minhash_lsh_candidates(
+        minhash_signatures(df, k, n, id_col), bands, rows, id_col, max_bucket
+    )
     sh = exploded_shingles(df, n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -254,11 +276,16 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming. Candidates via 4x16-bit
     chunk equality (pigeonhole holds for max_hamming <= 3); exact distance
-    via bit_count(xor)."""
+    via bit_count(xor). ``max_bucket`` is the same hot-bucket guard as
+    minhash_lsh_candidates (windowed count on the join's own (chunk, val)
+    partitioning; no extra shuffle)."""
     sig = simhash_signatures(df, id_col)
     chunks = sig.select(
         id_col,
@@ -277,6 +304,11 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    if max_bucket is not None:
+        w = Window.partitionBy("chunk", "val")
+        chunks = chunks.withColumn("_bn", F.count("*").over(w)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (

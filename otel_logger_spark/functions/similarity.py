@@ -126,6 +126,93 @@ def with_lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def _with_multitable_buckets(
+    df: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """Explode each row into its (table, bucket) memberships across
+    ``n_tables`` independent seeded hyperplane tables (column ``_tb``)."""
+    buckets = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        b = None
+        for i, p in enumerate(planes):
+            lit_p = F.array(*[F.lit(float(x)) for x in p])
+            bit = F.when(
+                _dot(F.col(vec_col), lit_p) >= 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, i)
+            b = term if b is None else b.bitwiseXOR(term)
+        buckets.append(F.struct(F.lit(t).alias("table"), b.alias("bucket")))
+    return df.withColumn("_tb", F.explode(F.array(*buckets)))
+
+
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Embedding near-dup pairs via the bucketed plan: multi-table
+    hyperplane LSH candidates (a (table, bucket) self-equi-join instead of
+    the O(n^2) cross join) verified with EXACT cosine — false candidates
+    are filtered exactly, so the output differs from the brute-force
+    enumeration only by pairs missed in every table. With 8 planes x 16
+    tables a cos>=0.95 pair collides in some table with prob ~1-1e-5 over
+    the plane draw — and the planes are seed-fixed, so for a given dataset
+    the result is deterministic (the gate asserts equality with the exact
+    oracle on its datasets). ``max_bucket`` is the hot-bucket guard
+    (windowed count on the join's own keys; no extra shuffle)."""
+    c = _with_multitable_buckets(
+        with_norm(corpus, vec_col), n_planes, n_tables, dim, vec_col, seed
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col("_norm").alias("_n"),
+        F.col("_tb.table").alias("table"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("table", "bucket")
+        c = c.withColumn("_bn", F.count("*").over(w)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+    a = c.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "table", "bucket",
+    )
+    b = c.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "table", "bucket",
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "sim_micro",
+            F.floor(
+                F.lit(1_000_000)
+                * _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ),
+        )
+        .filter(F.col("sim_micro") >= int(threshold * 1_000_000))
+        .select("id_a", "id_b", "sim_micro")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -143,19 +230,7 @@ def lsh_ann_topk(
     100 TB path; n_tables trades recall for candidate volume."""
 
     def with_buckets(df):
-        buckets = []
-        for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-            b = None
-            for i, p in enumerate(planes):
-                lit_p = F.array(*[F.lit(float(x)) for x in p])
-                bit = F.when(
-                    _dot(F.col(vec_col), lit_p) >= 0, F.lit(1).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-                term = F.shiftleft(bit, i)
-                b = term if b is None else b.bitwiseXOR(term)
-            buckets.append(F.struct(F.lit(t).alias("table"), b.alias("bucket")))
-        return df.withColumn("_tb", F.explode(F.array(*buckets)))
+        return _with_multitable_buckets(df, n_planes, n_tables, dim, vec_col, seed)
 
     c = with_buckets(with_norm(corpus, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),

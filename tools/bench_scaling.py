@@ -95,13 +95,22 @@ def main():
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--repeat", type=int, default=2, help="runs per level, best-of (page-cache/JIT steady state)")
+    ap.add_argument(
+        "--extra-n", type=int, default=8,
+        help="second pair (N2 vs 4*N2) measured alongside, to QUANTIFY the "
+        "single-socket memory-bandwidth ceiling rather than footnote it "
+        "(default 8 vs 32); 0 disables",
+    )
     args = ap.parse_args()
 
     zpath = build_pyfiles_zip()
     input_path = ensure_input(args.convs)
 
+    levels = [args.n, 4 * args.n]
+    if args.extra_n:
+        levels += [c for c in (args.extra_n, 4 * args.extra_n) if c not in levels]
     results = {}
-    for cores in (args.n, 4 * args.n):
+    for cores in levels:
         runs = [
             run_once(cores, input_path, zpath, shuffle_partitions=4 * cores)
             for _ in range(args.repeat)
@@ -113,7 +122,9 @@ def main():
 
     n, n4 = args.n, 4 * args.n
     eff = results[n4]["turns_per_sec"] / (4 * results[n]["turns_per_sec"])
-    sinks_equal = results[n]["sink_rows"] == results[n4]["sink_rows"]
+    sinks_equal = all(
+        results[c]["sink_rows"] == results[n]["sink_rows"] for c in levels
+    )
     summary = {
         "date": datetime.now(timezone.utc).isoformat(),
         "input_turns": results[n]["n_turns"],
@@ -125,6 +136,15 @@ def main():
         "sink_rows_equal_across_parallelism": sinks_equal,
         "runs": results,
     }
+    if args.extra_n and 4 * args.extra_n in results:
+        n2, n24 = args.extra_n, 4 * args.extra_n
+        eff2 = results[n24]["turns_per_sec"] / (4 * results[n2]["turns_per_sec"])
+        summary["ceiling_pair"] = {
+            "N": n2,
+            "throughput_N": results[n2]["turns_per_sec"],
+            "throughput_4N": results[n24]["turns_per_sec"],
+            "scaling_efficiency": round(eff2, 3),
+        }
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "scaling.json"), "w") as f:
         json.dump(summary, f, indent=1)
@@ -142,18 +162,29 @@ parallelism levels standing in for N and 4N executors.
 
 | cluster | cores | wall (s) | turns/sec |
 |---|---|---|---|
-| N | {n} | {results[n]["wall_sec"]} | {results[n]["turns_per_sec"]:,} |
-| 4N | {n4} | {results[n4]["wall_sec"]} | {results[n4]["turns_per_sec"]:,} |
-
-**Scaling efficiency = T(4N) / (4 x T(N)) = {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
-
-Why this N/4N pair: the sandbox is one socket with 32 physical cores; the
-memory subsystem saturates above ~16 active cores (parse-only microbench
-scales 3.37x at 4->16 cores but 2.06x at 8->32, while a pure-integer burn
-scales 3.35x at 8->32). A real 4N-executor cluster multiplies memory
-channels and disks with executor count, so single-box high-core pairs
+"""
+    for c in levels:
+        md += f"| local[{c}] | {c} | {results[c]['wall_sec']} | {results[c]['turns_per_sec']:,} |\n"
+    md += f"""
+**Scaling efficiency = T({n4}) / (4 x T({n})) = {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
+"""
+    if "ceiling_pair" in summary:
+        cp = summary["ceiling_pair"]
+        md += f"""
+**Ceiling pair: T({4*cp["N"]}) / (4 x T({cp["N"]})) = {cp["scaling_efficiency"]:.3f}** —
+this quantifies the single-socket memory-bandwidth ceiling (all {4*cp["N"]}
+cores share one socket's memory channels), it is not the cluster-scaling
+number: a real 4N-executor cluster multiplies memory channels, LLC, and
+disks with executor count.
+"""
+    md += f"""
+Why N={n} vs 4N={n4} is the headline pair: the sandbox is one socket with 32
+physical cores; the memory subsystem saturates above ~16 active cores
+(parse-only microbench scales 3.37x at 4->16 cores but ~2x at 8->32, while
+a pure-integer burn scales 3.35x at 8->32). Single-box high-core pairs
 understate cluster scaling; the chosen pair keeps both levels in the
-machine's linear region. Absolute throughput still rises with cores.
+machine's linear region. Absolute throughput still rises with cores — see
+the table.
 
 Reproduce: `python tools/bench_scaling.py --convs {args.convs} --n {n}`
 """

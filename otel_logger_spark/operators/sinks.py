@@ -31,52 +31,52 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from otel_logger_spark.schemas import SINK_ERROR, SINK_LOGS, SINK_TOOL_CALL
+from otel_logger_spark.fsio import HadoopFS, join_path
 from otel_logger_spark.operators.route import ERROR_SEVERITY_THRESHOLD
 
 
 def _manifest_path(out_dir: str, run_id: str) -> str:
-    return os.path.join(out_dir, "_lineage", f"{run_id}.json")
+    return join_path(out_dir, "_lineage", f"{run_id}.json")
 
 
-def load_manifest(out_dir: str, run_id: str) -> dict:
+def load_manifest(spark, out_dir: str, run_id: str) -> dict:
+    """Manifest IO goes through the Hadoop FileSystem of out_dir's scheme —
+    the same code path serves file:/, hdfs:/ and s3a:/ deployments."""
+    fs = HadoopFS(spark, out_dir)
     p = _manifest_path(out_dir, run_id)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
+    if fs.exists(p):
+        return json.loads(fs.read_text(p))
     return {"run_id": run_id, "sinks": {}}
 
 
-def save_manifest(out_dir: str, manifest: dict) -> None:
-    d = os.path.join(out_dir, "_lineage")
-    os.makedirs(d, exist_ok=True)
-    p = _manifest_path(out_dir, manifest["run_id"])
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, p)  # atomic manifest commit
+def save_manifest(spark, out_dir: str, manifest: dict) -> None:
+    fs = HadoopFS(spark, out_dir)
+    d = join_path(out_dir, "_lineage")
+    fs.mkdirs(d)
+    fs.write_text_atomic(
+        _manifest_path(out_dir, manifest["run_id"]),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
 
 
-def parquet_partition_lineage(path: str) -> list[dict]:
+def parquet_partition_lineage(spark, path: str) -> list[dict]:
     """Per-partition lineage read from the committed parquet footers: every
     write task produces one part file, so footer row counts ARE the
     per-partition counts — no extra Spark action over the data. Footer
-    reads are O(files) driver-side metadata fetches (cheap even at 10^4
-    files; on object storage they're ranged GETs)."""
-    import pyarrow.parquet as pq
-
-    files = []
-    for root, _, names in os.walk(path):  # recurse: partitionBy layouts nest
-        for name in names:
-            if name.endswith(".parquet"):
-                files.append(os.path.relpath(os.path.join(root, name), path))
+    reads are O(files) driver-side metadata fetches via the Hadoop FS
+    (cheap even at 10^4 files; on object storage they're ranged GETs)."""
+    fs = HadoopFS(spark, path)
+    rels = sorted(
+        fs.relativize(path, f) for f in fs.list_files_recursive(path, ".parquet")
+    )
     parts = []
-    for i, rel in enumerate(sorted(files)):
-        md = pq.read_metadata(os.path.join(path, rel))
-        parts.append({"partition_id": i, "n_rows": md.num_rows, "file": rel})
+    for i, rel in enumerate(rels):
+        n = fs.parquet_row_count(join_path(path, rel))
+        parts.append({"partition_id": i, "n_rows": n, "file": rel})
     return parts
 
 
-def _commit(manifest, out_dir, sink, path, n_rows, t0, partitions):
+def _commit(spark, manifest, out_dir, sink, path, n_rows, t0, partitions):
     entry = {
         "status": "committed",
         "n_rows": n_rows,
@@ -85,7 +85,7 @@ def _commit(manifest, out_dir, sink, path, n_rows, t0, partitions):
         "partitions": partitions,
     }
     manifest["sinks"][sink] = entry
-    save_manifest(out_dir, manifest)  # checkpoint after every sink commit
+    save_manifest(spark, out_dir, manifest)  # checkpoint after every sink commit
     return entry
 
 
@@ -134,7 +134,7 @@ def _write_one(
         # (the parquet stand-in for Iceberg's day(ts) partition spec)
         w = w.partitionBy(*partition_by)
     w.parquet(path)
-    parts = parquet_partition_lineage(path)
+    parts = parquet_partition_lineage(df.sparkSession, path)
     return sum(p["n_rows"] for p in parts), parts
 
 
@@ -164,18 +164,18 @@ def write_routed_sinks(
     Returns the committed manifest (A5: every sink committed == ForceFlush).
     """
     fmt = resolve_sink_format(sink_format)
-    manifest = load_manifest(out_dir, run_id)
+    spark = routed.sparkSession
+    manifest = load_manifest(spark, out_dir, run_id)
     done = {
         s for s, e in manifest["sinks"].items() if e.get("status") == "committed"
     }
-    spark = routed.sparkSession
     use_persist = bool(persist) or fmt == "json"  # json staging can't be re-read cheaply
     if use_persist:
         routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
 
     try:
         base = routed.select(*[c for c in OUT_COLS if c in routed.columns])
-        logs_path = os.path.join(out_dir, SINK_LOGS)
+        logs_path = join_path(out_dir, SINK_LOGS)
         if SINK_LOGS not in done:
             t0 = time.monotonic()
             if partition_logs_by_date:
@@ -187,7 +187,7 @@ def write_routed_sinks(
                 )
             else:
                 n, parts = _write_one(base, logs_path, fmt)
-            _commit(manifest, out_dir, SINK_LOGS, logs_path, n, t0, parts)
+            _commit(spark, manifest, out_dir, SINK_LOGS, logs_path, n, t0, parts)
 
         # derive the remaining sinks from the staged table (or the persisted
         # frame) — the expensive upstream plan never re-executes
@@ -231,10 +231,10 @@ def write_routed_sinks(
         def run_sink(sink: str, df: DataFrame):
             try:
                 t0 = time.monotonic()
-                path = os.path.join(out_dir, sink)
+                path = join_path(out_dir, sink)
                 n, parts = _write_one(df, path, fmt)
                 with lock:
-                    _commit(manifest, out_dir, sink, path, n, t0, parts)
+                    _commit(spark, manifest, out_dir, sink, path, n, t0, parts)
             except BaseException as e:  # surfaced after join
                 errors.append(e)
 
@@ -250,7 +250,7 @@ def write_routed_sinks(
         if errors:
             raise errors[0]
         manifest["status"] = "committed"
-        save_manifest(out_dir, manifest)
+        save_manifest(spark, out_dir, manifest)
     finally:
         if use_persist:
             routed.unpersist()

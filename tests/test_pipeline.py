@@ -197,3 +197,46 @@ def test_extreme_skew_conversation(spark, tmp_path):
     assert {k: v["n_entries"] for k, v in ms.items()} == {
         k: v["n_entries"] for k, v in m.items()
     }
+
+
+def test_resume_via_file_uri(spark, transcripts, tmp_path):
+    """Lineage IO must work on scheme-qualified URIs through the Hadoop
+    FileSystem layer (proving no raw-os dependency): full run + skip-resume
+    with out_dir expressed as file:/..."""
+    src = str(tmp_path / "in_uri.parquet")
+    transcripts.limit(500).toPandas().astype({"ts": "datetime64[us]"}).to_parquet(
+        src, index=False
+    )
+    out = "file://" + str(tmp_path / "out_uri")
+    m1 = run_pipeline(spark, src, out, run_id="u1")
+    assert m1["status"] == "committed"
+    assert m1["sinks"]["logs"]["n_rows"] > 0
+    assert sum(p["n_rows"] for p in m1["sinks"]["logs"]["partitions"]) == (
+        m1["sinks"]["logs"]["n_rows"]
+    )
+    m2 = run_pipeline(spark, src, out, run_id="u1")  # resume skips all sinks
+    assert {k: v["wall_sec"] for k, v in m2["sinks"].items()} == {
+        k: v["wall_sec"] for k, v in m1["sinks"].items()
+    }
+
+
+def test_manifest_io_hadoop_fs(spark, tmp_path):
+    """Unit test of manifest IO against the FS abstraction: roundtrip,
+    atomic overwrite, and missing-manifest default — all via file:/ URIs."""
+    from otel_logger_spark.operators.sinks import load_manifest, save_manifest
+
+    out = "file://" + str(tmp_path / "mfs")
+    assert load_manifest(spark, out, "rX") == {"run_id": "rX", "sinks": {}}
+    m = {"run_id": "rX", "sinks": {"logs": {"status": "committed", "n_rows": 7}}}
+    save_manifest(spark, out, m)
+    assert load_manifest(spark, out, "rX") == m
+    m["sinks"]["error"] = {"status": "committed", "n_rows": 1}
+    save_manifest(spark, out, m)  # overwrite path (delete + rename)
+    assert load_manifest(spark, out, "rX") == m
+    # no stray tmp file left behind
+    import os as _os
+
+    d = str(tmp_path / "mfs" / "_lineage")
+    names = [n for n in _os.listdir(d) if not n.endswith(".crc")]  # Hadoop
+    # LocalFileSystem writes .crc checksum sidecars; no .tmp must remain
+    assert names == ["rX.json"]

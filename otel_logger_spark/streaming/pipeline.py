@@ -10,14 +10,18 @@ no event-time windowing (SURVEY.md §2.8; BatchProcessor
   maxFilesPerTrigger ~ BatchSize) or availableNow for drain-then-exit
 - ForceFlush at EOF -> trigger(availableNow=True) + awaitTermination
 - multi-sink fan-out-> foreachBatch: persist the parsed micro-batch once,
-  one filtered append per sink (exactly-once per sink via the streaming
-  checkpoint + idempotent parquet appends per batchId)
+  one filtered write per sink into a batchId-keyed subdirectory — skipped
+  when already committed, so a retried micro-batch (failure between sink
+  writes) never double-appends: exactly-once per (sink, batchId) on top of
+  the streaming checkpoint's at-least-once redelivery
 - flush-interval metrics -> watermarked 5s tumbling-window counts
 
-Multiline coalescing is per micro-batch here (entries spanning micro-batch
-boundaries stay split; exact cross-batch state would use
-transformWithStateInPandas keyed by conv_id — documented trade-off, the
-batch pipeline is the primary deliverable).
+Multiline coalescing: ``coalesce=True`` routes the stream through the
+conv_id-keyed stateful coalescer (streaming/multiline_state.py), so an
+entry whose continuation lines arrive in a LATER micro-batch still
+coalesces — the reference's iterator never splits an entry
+(/root/reference/main.go:395-455). Default False treats each turn as one
+entry (no coalescing), for line-structured inputs that need none.
 """
 
 from __future__ import annotations
@@ -42,8 +46,25 @@ def read_transcript_stream(
     return reader.parquet(input_dir)
 
 
-def build_streaming_routed(stream: DataFrame) -> DataFrame:
-    parsed = with_parsed(stream.filter(F.length("text") > 0))
+def build_streaming_routed(
+    stream: DataFrame,
+    coalesce: bool = False,
+    idle_flush_ms: int = 10_000,
+) -> DataFrame:
+    """parse -> enrich -> route over a stream; ``coalesce=True`` first runs
+    the conv_id-keyed stateful multiline coalescer so entries spanning
+    micro-batches still merge (iterator parity, main.go:395-455)."""
+    if coalesce:
+        from otel_logger_spark.streaming.multiline_state import (
+            coalesce_entries_stream,
+        )
+
+        src = coalesce_entries_stream(stream, idle_flush_ms=idle_flush_ms).drop(
+            "n_lines"
+        )
+    else:
+        src = stream.filter(F.length("text") > 0)
+    parsed = with_parsed(src)
     return with_routing(enrich_tool(enrich_severity(parsed)))
 
 
@@ -54,13 +75,22 @@ def run_streaming_pipeline(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    coalesce: bool = False,
+    idle_flush_ms: int = 10_000,
+    max_files_per_trigger: int | None = None,
 ):
     """Fan-out streaming write via foreachBatch; returns the started query.
 
     availableNow=True drains everything then stops (the ForceFlush-at-EOF
     semantics, main.go:652-655); processing_time mirrors FlushInterval for
-    continuous mode."""
-    routed = build_streaming_routed(read_transcript_stream(spark, input_dir))
+    continuous mode. ``coalesce=True`` enables the cross-batch stateful
+    multiline coalescer (entries flush on close or after ``idle_flush_ms``
+    of conversation idleness — the ForceFlush analogue)."""
+    routed = build_streaming_routed(
+        read_transcript_stream(spark, input_dir, max_files_per_trigger),
+        coalesce=coalesce,
+        idle_flush_ms=idle_flush_ms,
+    )
 
     out_cols = [
         "conv_id", "turn_idx", "role", "tool", "event_ts", "level",
@@ -68,16 +98,22 @@ def run_streaming_pipeline(
     ]
 
     def write_batch(batch_df: DataFrame, batch_id: int):
+        # exactly-once per (sink, batchId): each micro-batch lands in its
+        # own batchid=<id> partition with overwrite, so a retried batch
+        # (failure between the three sink writes) rewrites its partitions
+        # instead of double-appending
         batch_df = batch_df.persist()
         try:
             base = batch_df.select(*out_cols)
-            base.write.mode("append").parquet(os.path.join(out_dir, "logs"))
-            base.filter(batch_df["is_error"]).write.mode("append").parquet(
-                os.path.join(out_dir, "error")
-            )
-            base.filter(batch_df["is_tool_call"]).write.mode("append").parquet(
-                os.path.join(out_dir, "tool_call")
-            )
+            for sink, flt in (
+                ("logs", None),
+                ("error", batch_df["is_error"]),
+                ("tool_call", batch_df["is_tool_call"]),
+            ):
+                df = base if flt is None else base.filter(flt)
+                df.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, sink, f"batchid={batch_id}")
+                )
         finally:
             batch_df.unpersist()
 

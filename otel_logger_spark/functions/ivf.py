@@ -33,15 +33,30 @@ def train_centroids(
     sample: int = 2048,
     vec_col: str = "embedding",
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Driver-side Lloyd over a seeded sample (the standard IVF recipe:
     training is tiny relative to the corpus; indexing/search stay
-    distributed)."""
+    distributed).
+
+    Sampling is a deterministic hash-threshold filter on the id column —
+    one column-pruned scan plus a metadata-cheap count. (The previous
+    xxhash64(to_json(vec)) sort-sample serialized every embedding to JSON
+    for a full-corpus TakeOrdered — a whole extra pass at 100 TB.) The
+    ~4x-oversampled survivors are ordered by their hash for a deterministic
+    final cut; only that small set is ever sorted."""
+    n_total = corpus.count()  # parquet metadata count; no data pages read
+    frac = min(1.0, (4 * sample) / max(n_total, 1))
+    mod = 1 << 30
+    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod))
     rows = (
         _as_double(corpus, vec_col)
-        .select(vec_col)
-        .orderBy(F.xxhash64(F.to_json(F.struct(vec_col)), F.lit(seed)))
+        .select(id_col, vec_col)
+        .withColumn("_h", h)
+        .filter(F.col("_h") < int(frac * mod))
+        .orderBy("_h", id_col)
         .limit(sample)
+        .select(vec_col)
         .collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
@@ -104,7 +119,9 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF search: probe the n_probe nearest lists, exact cosine within."""
-    centroids = train_centroids(corpus, k=n_clusters, vec_col=vec_col, seed=seed)
+    centroids = train_centroids(
+        corpus, k=n_clusters, vec_col=vec_col, seed=seed, id_col=id_col
+    )
     indexed = with_norm(ivf_index(corpus, centroids, id_col, vec_col), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

@@ -138,3 +138,75 @@ def coalesce_entries_pandas(
         + f", {order_col} int, role string, text string, tool string, ts timestamp, n_lines int"
     )
     return df.groupBy(*gcols).applyInPandas(run, schema)
+
+
+def coalesce_entries_partitioned(
+    df: DataFrame,
+    cont_pattern: str = DEFAULT_CONTINUATION_PATTERN,
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Shuffle-free coalescer for sources whose partitions already hold
+    whole, ordered conversations — the textfile source (one file = one
+    stream, sources/textfile.py) by construction. Because there is no
+    exchange, a downstream ``limit(k)`` early-exits: CollectLimit runs one
+    input partition at a time, matching the reference's pull-based iterator
+    (multiline_test.go:258-294 — consuming one entry reads one entry's
+    lines, not the whole input). PRECONDITION (not checked): every conv_id
+    is wholly contained in one partition and its rows are contiguous and
+    ordered; use coalesce_entries for arbitrary layouts. Same output schema
+    as coalesce_entries."""
+    pat = re.compile(cont_pattern)
+    cols = ["conv_id", order_col, "role", "text", "tool", "ts", "n_lines"]
+
+    def run(batches):
+        # the open entry and current conversation survive Arrow batch
+        # boundaries — a conversation's rows can span batches within the
+        # partition; only the partition end closes the final entry
+        cur: list[dict] | None = None
+        prev_conv = None
+
+        def flushed():
+            nonlocal cur
+            if not cur:
+                return None
+            first = cur[0]
+            entry = {
+                "conv_id": first["conv_id"],
+                order_col: first[order_col],
+                "role": first["role"],
+                "text": "\n".join(r["text"] for r in cur),
+                "tool": first["tool"],
+                "ts": first["ts"],
+                "n_lines": len(cur),
+            }
+            cur = None
+            return entry
+
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                if row["conv_id"] != prev_conv:
+                    e = flushed()  # conversation boundary closes the entry
+                    if e:
+                        out.append(e)
+                    prev_conv = row["conv_id"]
+                line = row["text"]
+                if line is None or len(line) == 0:
+                    continue
+                if not pat.search(line) and line.strip() not in _BARE_CLOSERS:
+                    e = flushed()
+                    if e:
+                        out.append(e)
+                    cur = [row]
+                elif cur is not None:
+                    cur.append(row)
+            yield pd.DataFrame(out, columns=cols)
+        e = flushed()  # partition end == EOF ForceFlush (main.go:451-453)
+        if e:
+            yield pd.DataFrame([e], columns=cols)
+
+    schema = (
+        f"conv_id string, {order_col} int, role string, text string, "
+        "tool string, ts timestamp, n_lines int"
+    )
+    return df.mapInPandas(run, schema)

@@ -92,16 +92,27 @@ def _commit(spark, manifest, out_dir, sink, path, n_rows, t0, partitions):
 SUPPORTED_FORMATS = ("parquet", "json")
 
 
-def resolve_sink_format(explicit: str | None = None) -> str:
+def _env_sink(base: str, sink: str | None) -> str | None:
+    """Generic -> sink-specific override chain, mirroring the reference's
+    OTEL_EXPORTER_OTLP_PROTOCOL / OTEL_EXPORTER_OTLP_LOGS_PROTOCOL
+    precedence (createExporter, /root/reference/main.go:330-345): the
+    sink-specific variable wins when set, else the generic one."""
+    if sink:
+        v = os.environ.get(f"{base}_{sink.upper()}")
+        if v is not None:
+            return v
+    return os.environ.get(base)
+
+
+def resolve_sink_format(explicit: str | None = None, sink: str = SINK_LOGS) -> str:
     """Sink-format dispatch mirroring createExporter
     (/root/reference/main.go:330-345): an env var selects the protocol,
     the sink-specific var overrides the generic one, unsupported values
-    are an error (not a silent default)."""
+    are an error (not a silent default). Applies per sink — all four sinks
+    honor OTEL_SPARK_SINK_FORMAT and OTEL_SPARK_SINK_FORMAT_<SINK>."""
     fmt = explicit
     if fmt is None:
-        fmt = os.environ.get(
-            "OTEL_SPARK_SINK_FORMAT_LOGS", os.environ.get("OTEL_SPARK_SINK_FORMAT")
-        )
+        fmt = _env_sink("OTEL_SPARK_SINK_FORMAT", sink)
     if fmt is None:
         return "parquet"
     f = fmt.strip().lower()
@@ -112,6 +123,37 @@ def resolve_sink_format(explicit: str | None = None) -> str:
     return f
 
 
+def resolve_sink_path(out_dir: str, sink: str) -> str:
+    """Per-sink output URI, the ENDPOINT analogue
+    (OTEL_EXPORTER_OTLP_ENDPOINT + per-signal override, README env table):
+    OTEL_SPARK_SINK_URI_<SINK> is a full path for that sink;
+    OTEL_SPARK_SINK_URI replaces the base directory for every sink."""
+    specific = os.environ.get(f"OTEL_SPARK_SINK_URI_{sink.upper()}")
+    if specific is not None:
+        return specific
+    generic = os.environ.get("OTEL_SPARK_SINK_URI")
+    return join_path(generic if generic is not None else out_dir, sink)
+
+
+def resolve_sink_options(sink: str) -> dict:
+    """Writer options, the HEADERS analogue (OTEL_EXPORTER_OTLP_HEADERS
+    k=v,k2=v2 syntax): OTEL_SPARK_SINK_OPTIONS[_<SINK>] parsed into
+    DataFrameWriter options; the sink-specific var replaces the generic."""
+    raw = _env_sink("OTEL_SPARK_SINK_OPTIONS", sink)
+    if not raw:
+        return {}
+    out = {}
+    for part in raw.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"bad sink option (want k=v): {part!r}")
+        k, v = part.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
 OUT_COLS = [
     "conv_id", "turn_idx", "role", "tool", "event_ts", "level",
     "severity_num", "message", "attrs", "raw", "json_ok",
@@ -119,16 +161,25 @@ OUT_COLS = [
 
 
 def _write_one(
-    df: DataFrame, path: str, fmt: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: list[str] | None = None,
+    options: dict | None = None,
 ) -> tuple[int, list[dict]]:
     if fmt == "json":
         obs = Observation()
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").json(path)
+        w = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite")
+        if options:
+            w = w.options(**options)
+        w.json(path)
         return obs.get["n"], []  # json has no footers; Observation rides the write
     # snappy on the sink critical path (encode ~3x faster than zstd);
     # storage-economy runs can override via OTEL_SPARK_SINK_CODEC=zstd
     codec = os.environ.get("OTEL_SPARK_SINK_CODEC", "snappy")
     w = df.write.mode("overwrite").option("compression", codec)
+    if options:
+        w = w.options(**options)
     if partition_by:
         # date-partitioned layout: partition pruning for time-ranged reads
         # (the parquet stand-in for Iceberg's day(ts) partition spec)
@@ -163,7 +214,7 @@ def write_routed_sinks(
     ``metrics`` defaults to conversation_metrics over the staged rows.
     Returns the committed manifest (A5: every sink committed == ForceFlush).
     """
-    fmt = resolve_sink_format(sink_format)
+    fmt = resolve_sink_format(sink_format, SINK_LOGS)
     spark = routed.sparkSession
     manifest = load_manifest(spark, out_dir, run_id)
     done = {
@@ -175,18 +226,20 @@ def write_routed_sinks(
 
     try:
         base = routed.select(*[c for c in OUT_COLS if c in routed.columns])
-        logs_path = join_path(out_dir, SINK_LOGS)
+        logs_path = resolve_sink_path(out_dir, SINK_LOGS)
         if SINK_LOGS not in done:
             t0 = time.monotonic()
+            opts = resolve_sink_options(SINK_LOGS)
             if partition_logs_by_date:
                 n, parts = _write_one(
                     base.withColumn("event_date", F.to_date("event_ts")),
                     logs_path,
                     fmt,
                     partition_by=["event_date"],
+                    options=opts,
                 )
             else:
-                n, parts = _write_one(base, logs_path, fmt)
+                n, parts = _write_one(base, logs_path, fmt, options=opts)
             _commit(spark, manifest, out_dir, SINK_LOGS, logs_path, n, t0, parts)
 
         # derive the remaining sinks from the staged table (or the persisted
@@ -231,8 +284,11 @@ def write_routed_sinks(
         def run_sink(sink: str, df: DataFrame):
             try:
                 t0 = time.monotonic()
-                path = join_path(out_dir, sink)
-                n, parts = _write_one(df, path, fmt)
+                path = resolve_sink_path(out_dir, sink)
+                sink_fmt = resolve_sink_format(sink_format, sink)
+                n, parts = _write_one(
+                    df, path, sink_fmt, options=resolve_sink_options(sink)
+                )
                 with lock:
                     _commit(spark, manifest, out_dir, sink, path, n, t0, parts)
             except BaseException as e:  # surfaced after join

@@ -69,3 +69,75 @@ def test_date_partitioned_logs_sink(spark, tmp_path):
     assert sum(p["n_rows"] for p in manifest["sinks"]["logs"]["partitions"]) == logs.count()
     # derived sinks still consistent when reading a partitioned staged table
     assert manifest["sinks"]["error"]["n_rows"] == logs.filter("severity_num >= 17").count()
+
+
+def test_env_precedence_matrix(monkeypatch):
+    """config_test.go-style matrix: generic vs sink-specific precedence for
+    format, URI, and writer options across ALL sinks."""
+    from otel_logger_spark.operators.sinks import (
+        resolve_sink_options,
+        resolve_sink_path,
+    )
+
+    for v in (
+        "OTEL_SPARK_SINK_FORMAT", "OTEL_SPARK_SINK_URI", "OTEL_SPARK_SINK_OPTIONS",
+    ):
+        monkeypatch.delenv(v, raising=False)
+        for s in ("LOGS", "ERROR", "TOOL_CALL", "CONVERSATION_METRICS", "RAW"):
+            monkeypatch.delenv(f"{v}_{s}", raising=False)
+
+    # format: default -> generic -> specific, per sink
+    assert resolve_sink_format(sink="error") == "parquet"
+    monkeypatch.setenv("OTEL_SPARK_SINK_FORMAT", "json")
+    assert resolve_sink_format(sink="error") == "json"
+    assert resolve_sink_format(sink="tool_call") == "json"
+    monkeypatch.setenv("OTEL_SPARK_SINK_FORMAT_ERROR", "parquet")
+    assert resolve_sink_format(sink="error") == "parquet"  # specific wins
+    assert resolve_sink_format(sink="tool_call") == "json"  # others keep generic
+    assert resolve_sink_format("parquet", sink="error") == "parquet"  # explicit wins
+    with pytest.raises(ValueError):
+        monkeypatch.setenv("OTEL_SPARK_SINK_FORMAT_ERROR", "grpc")
+        resolve_sink_format(sink="error")
+    monkeypatch.delenv("OTEL_SPARK_SINK_FORMAT_ERROR")
+
+    # URI (ENDPOINT analogue): default base -> generic base -> full override
+    assert resolve_sink_path("/out", "logs") == "/out/logs"
+    monkeypatch.setenv("OTEL_SPARK_SINK_URI", "s3a://bucket/base")
+    assert resolve_sink_path("/out", "logs") == "s3a://bucket/base/logs"
+    assert resolve_sink_path("/out", "error") == "s3a://bucket/base/error"
+    monkeypatch.setenv("OTEL_SPARK_SINK_URI_ERROR", "s3a://other/errors")
+    assert resolve_sink_path("/out", "error") == "s3a://other/errors"
+    assert resolve_sink_path("/out", "logs") == "s3a://bucket/base/logs"
+
+    # options (HEADERS analogue): k=v,k2=v2; specific replaces generic
+    assert resolve_sink_options("logs") == {}
+    monkeypatch.setenv("OTEL_SPARK_SINK_OPTIONS", "compression=zstd")
+    assert resolve_sink_options("logs") == {"compression": "zstd"}
+    monkeypatch.setenv(
+        "OTEL_SPARK_SINK_OPTIONS_LOGS", "compression=gzip, maxRecordsPerFile=100"
+    )
+    assert resolve_sink_options("logs") == {
+        "compression": "gzip", "maxRecordsPerFile": "100",
+    }
+    assert resolve_sink_options("error") == {"compression": "zstd"}
+    with pytest.raises(ValueError, match="bad sink option"):
+        monkeypatch.setenv("OTEL_SPARK_SINK_OPTIONS", "nonsense")
+        resolve_sink_options("error")
+
+
+def test_per_sink_env_applied_end_to_end(spark, tmp_path, monkeypatch):
+    """The error sink lands at its URI override in its overridden format;
+    other sinks are untouched."""
+    src = str(tmp_path / "t3.parquet")
+    write_transcripts(src, n_convs=10, seed=9)
+    routed = build_parsed(spark.read.parquet(src))
+    out = str(tmp_path / "out3")
+    err_out = str(tmp_path / "err_elsewhere")
+    monkeypatch.setenv("OTEL_SPARK_SINK_FORMAT_ERROR", "json")
+    monkeypatch.setenv("OTEL_SPARK_SINK_URI_ERROR", err_out)
+    manifest = write_routed_sinks(routed, None, out, run_id="env1")
+    assert manifest["sinks"]["error"]["path"] == err_out
+    got = spark.read.json(err_out)
+    assert got.count() == manifest["sinks"]["error"]["n_rows"]
+    assert not os.path.exists(os.path.join(out, "error"))
+    assert os.path.exists(os.path.join(out, "logs"))

@@ -19,8 +19,17 @@ import sys
 from otel_logger_spark.config import PipelineConfig
 
 
+VERSION = "0.2.0"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(add_help=True)
+    # Config.Version parity (main.go:49-51): "--version (show version info)"
+    ap.add_argument(
+        "--version",
+        action="version",
+        version=f"otel-logger-spark {VERSION}",
+    )
     ap.add_argument("--input", required=True, help="transcripts parquet, or a dir of raw .log/.txt files with --text-logs")
     ap.add_argument("--out", required=True)
     ap.add_argument("--text-logs", action="store_true", help="treat --input as raw log files (stdin-pipe analog)")

@@ -133,3 +133,13 @@ def test_cli_end_to_end(tmp_path):
     counts = json.loads(res.stdout.strip().splitlines()[-1])
     assert counts["logs"] == 4  # 5 lines -> 4 entries (continuation merged)
     assert counts["error"] == 1
+
+
+def test_cli_version():
+    res = subprocess.run(
+        [sys.executable, "-m", "otel_logger_spark.cli", "--version"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+        env=dict(os.environ, PYTHONPATH="/root/repo"),
+    )
+    assert res.returncode == 0
+    assert res.stdout.startswith("otel-logger-spark ")

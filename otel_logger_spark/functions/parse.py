@@ -209,14 +209,20 @@ def parse_entry(
     return event_ts, level, message, attrs, True
 
 
-# --- JVM fast path (hybrid parse) ---------------------------------------------
+# --- JVM fast path (hybrid parse, OPT-IN — measured slower on this corpus) ----
 #
-# The pandas UDF is the single-box throughput ceiling (~142k rows/s/core), so
-# rows whose semantics the JVM can reproduce EXACTLY are parsed with
-# from_json + expressions inside whole-stage codegen; only the rest cross to
-# Python. Anything ambiguous falls back to the UDF, so the hybrid is
+# Hypothesis: the pandas UDF is the single-box throughput ceiling
+# (~142k rows/s/core), so rows whose semantics the JVM can reproduce EXACTLY
+# are parsed with from_json + expressions; only the rest cross to Python.
+# Anything ambiguous falls back to the UDF, so the hybrid is
 # semantics-preserving by construction (tests/test_parse_hybrid.py asserts
 # bitwise parity against the pure-UDF plan on adversarial corpora).
+#
+# Measured outcome (37M-turn pipeline A/B, see with_parsed): the pure UDF
+# WINS on the transcript corpus — Go-parity guards cost ~20 JVM expressions
+# per row (~22us) vs one C-speed json.loads (~7us). Default OFF; the
+# machinery stays for long-simple-JSON corpora and as a worked example of
+# the optimizer traps below.
 #
 # Design (from_json-FIRST — a full JSON-grammar Java regex was tried and
 # measured at ~10 MB/s/core, slower than the Python parse it replaced):
@@ -645,7 +651,7 @@ def with_parsed(
     level_fields=DEFAULT_LEVEL_FIELDS,
     msg_fields=DEFAULT_MESSAGE_FIELDS,
     keep_text: bool = False,
-    hybrid: bool = True,
+    hybrid: bool | None = None,
 ):
     """Apply the parse stage: adds event_ts, level, message, attrs, json_ok
     and ``raw`` (the untouched input text — main.go:298 parity).
@@ -655,10 +661,22 @@ def with_parsed(
     which is the single-box scaling ceiling. keep_text=True restores the
     duplicate for callers that still need ``text`` downstream.
 
-    ``hybrid=True`` (default) parses JVM-expressible rows with
-    from_json + expressions and sends only the hard rows to the pandas UDF;
-    semantics are identical (tests/test_parse_hybrid.py). Set False to force
-    the pure-UDF plan (used by the parity tests themselves)."""
+    ``hybrid``: the JVM fast path (strict from_json + expressions for
+    JVM-expressible rows, pandas UDF only for the hard ones; bitwise
+    parity asserted by tests/test_parse_hybrid.py). Default None = the
+    OTEL_SPARK_PARSE_HYBRID env var, itself defaulting OFF: a 37M-turn A/B
+    at local[8] and local[32] measured the pure Arrow-batched UDF FASTER
+    (363k vs 218k turns/s at 8 cores; 468k vs 391k at 32) — C-speed
+    json.loads beats the ~20-expression JVM guard stack that Go-parity
+    semantics require (per-row cost ~22us in JVM machinery vs ~7us in the
+    UDF loop). Kept as an opt-in experiment: corpora whose rows are long,
+    simple JSON (where from_json wins on bytes scanned) can flip it on."""
+    import os
+
+    if hybrid is None:
+        hybrid = os.environ.get("OTEL_SPARK_PARSE_HYBRID", "0") not in (
+            "0", "false",
+        )
     udf = make_parse_udf(json_prefix, ts_fields, level_fields, msg_fields)
     if hybrid and _hybrid_applicable(
         json_prefix, ts_fields, level_fields, msg_fields

@@ -240,3 +240,22 @@ def test_manifest_io_hadoop_fs(spark, tmp_path):
     names = [n for n in _os.listdir(d) if not n.endswith(".crc")]  # Hadoop
     # LocalFileSystem writes .crc checksum sidecars; no .tmp must remain
     assert names == ["rX.json"]
+
+
+def test_enrich_expr_equals_join_variants(spark, transcripts):
+    """The literal-map enrichment (default, codegen) must equal the
+    broadcast-join variants kept for non-constant lookups."""
+    from otel_logger_spark.functions.parse import with_parsed
+    from otel_logger_spark.operators.enrich import (
+        enrich_severity,
+        enrich_severity_join,
+        enrich_tool,
+        enrich_tool_join,
+    )
+
+    parsed = with_parsed(transcripts.limit(3000))
+    cols = ["conv_id", "turn_idx", "severity_num", "tool_category", "is_privileged"]
+    expr = enrich_tool(enrich_severity(parsed)).select(*cols)
+    join = enrich_tool_join(enrich_severity_join(parsed)).select(*cols)
+    assert expr.exceptAll(join).count() == 0
+    assert join.exceptAll(expr).count() == 0

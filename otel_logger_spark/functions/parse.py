@@ -158,18 +158,52 @@ def _scrub_surrogates(s: str) -> str:
     return _SURROGATE_RE.sub("�", s)
 
 
-def parse_entry(
+# epoch-micros bounds of Python's datetime range (year 1 .. 9999)
+_MIN_US = -62135596800_000_000
+_MAX_US = 253402300799_999_999
+_EPOCH_ORD = 719163  # date(1970,1,1).toordinal()
+
+
+def parse_go_timestamp_us(s: str) -> int | None:
+    """parse_go_timestamp, micros-native: the UDF hot path avoids building
+    tz-aware datetimes entirely (datetime.replace alone was ~7% of worker
+    time). Returns epoch micros, or None for unparseable/out-of-range."""
+    m = _TS_RE.match(s)
+    if m is None:
+        return None
+    y, mo, d, sep, hh, mm, ss, frac, tz = m.groups()
+    if sep == " " and tz is not None:
+        return None  # no space-separated layout carries a zone
+    hh_i, mm_i, ss_i = int(hh), int(mm), int(ss)
+    if hh_i > 23 or mm_i > 59 or ss_i > 59:  # Go rejects 24:00 / leap seconds
+        return None
+    try:
+        days = datetime(int(y), int(mo), int(d)).toordinal() - _EPOCH_ORD
+    except ValueError:
+        return None
+    micros = int(frac.ljust(6, "0")[:6]) if frac else 0
+    us = (days * 86400 + hh_i * 3600 + mm_i * 60 + ss_i) * 1_000_000 + micros
+    if tz and tz != "Z":
+        off = (int(tz[1:3]) * 3600 + int(tz[4:6]) * 60) * 1_000_000
+        us = us - off if tz[0] == "+" else us + off
+        if not (_MIN_US <= us <= _MAX_US):
+            return None  # OverflowError parity (see parse_go_timestamp)
+    return us
+
+
+def parse_entry_us(
     line: str,
     prefix_re: re.Pattern = DEFAULT_PREFIX_RE,
     ts_fields=DEFAULT_TIMESTAMP_FIELDS,
     level_fields=DEFAULT_LEVEL_FIELDS,
     msg_fields=DEFAULT_MESSAGE_FIELDS,
 ):
-    """ParseLogEntry (main.go:173-246), pure.
+    """ParseLogEntry (main.go:173-246), pure, micros-native (the UDF hot
+    path; parse_entry wraps it with a datetime for the golden tests).
 
-    Returns (event_ts | None, level, message, attrs: dict[str,str], json_ok).
-    event_ts None means "reference would use time.Now()" — caller substitutes
-    the row's own ts.
+    Returns (event_us | None, level, message, attrs: dict[str,str],
+    json_ok). event_us None means "reference would use time.Now()" — the
+    caller substitutes the row's own ts.
     """
     json_str = extract_json(line, prefix_re)
     # cheap pre-check: an Unmarshal-into-map can only succeed when the first
@@ -179,36 +213,42 @@ def parse_entry(
         return None, DEFAULT_LEVEL, line.strip(), {}, False
     try:
         data = _loads_go(json_str)
-        if not isinstance(data, dict):
+        if type(data) is not dict:
             raise ValueError("not an object")  # Unmarshal-into-map fails
     except Exception:
         # fallback path (main.go:184-190)
         return None, DEFAULT_LEVEL, line.strip(), {}, False
 
-    event_ts = None
+    event_us = None
     # first-PRESENT-key wins: the loop breaks (and deletes) on the first key
     # holding a string or number, even if the string doesn't parse
     # (main.go:194-207). Non-string/number values fall through to later keys.
+    # (type() checks: bool is excluded automatically, and they dodge the
+    # isinstance machinery — 21M isinstance calls showed in the profile.)
     for f in ts_fields:
         v = data.get(f)
-        if isinstance(v, str):
-            t = parse_go_timestamp(v)
-            if t is not None and t != _GO_ZERO:
-                event_ts = t
+        tv = type(v)
+        if tv is str:
+            t = parse_go_timestamp_us(v)
+            if t is not None and t != _MIN_US:  # IsZero check (main.go:201)
+                event_us = t
             del data[f]
             break
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if tv is int or tv is float:
             try:
-                event_ts = datetime.fromtimestamp(int(v), tz=timezone.utc)
-            except (OverflowError, OSError, ValueError):
-                event_ts = None  # out of range -> deterministic fallback
+                sec = int(v)  # OverflowError on inf (1e400 via stdlib retry)
+                # datetime.fromtimestamp range parity (year 1..9999)
+                if -62135596800 <= sec <= 253402300799:
+                    event_us = sec * 1_000_000
+            except (OverflowError, ValueError):
+                pass  # out of range -> deterministic fallback
             del data[f]
             break
 
     level = None
     for f in level_fields:
         v = data.get(f)
-        if isinstance(v, str):  # only string values match (main.go:217)
+        if type(v) is str:  # only string values match (main.go:217)
             level = v
             del data[f]
             break
@@ -218,21 +258,48 @@ def parse_entry(
     message = None
     for f in msg_fields:
         v = data.get(f)
-        if isinstance(v, str):
+        if type(v) is str:
             message = v
             del data[f]
             break
     if message is None:
         message = DEFAULT_MESSAGE
 
-    attrs = {k: render_attr(v) for k, v in data.items()}
+    attrs = {
+        k: (v if type(v) is str else render_attr(v)) for k, v in data.items()
+    }
     if "\\u" in json_str:  # only escapes can smuggle in lone surrogates
         level = _scrub_surrogates(level)
         message = _scrub_surrogates(message)
         attrs = {
             _scrub_surrogates(k): _scrub_surrogates(v) for k, v in attrs.items()
         }
-    return event_ts, level, message, attrs, True
+    return event_us, level, message, attrs, True
+
+
+def parse_entry(
+    line: str,
+    prefix_re: re.Pattern = DEFAULT_PREFIX_RE,
+    ts_fields=DEFAULT_TIMESTAMP_FIELDS,
+    level_fields=DEFAULT_LEVEL_FIELDS,
+    msg_fields=DEFAULT_MESSAGE_FIELDS,
+):
+    """ParseLogEntry (main.go:173-246), pure — datetime-typed wrapper over
+    parse_entry_us (the golden-test / reference-parity surface).
+
+    Returns (event_ts | None, level, message, attrs: dict[str,str], json_ok).
+    event_ts None means "reference would use time.Now()" — caller substitutes
+    the row's own ts.
+    """
+    us, level, message, attrs, ok = parse_entry_us(
+        line, prefix_re, ts_fields, level_fields, msg_fields
+    )
+    ets = None
+    if us is not None:
+        ets = datetime.fromtimestamp(us // 1_000_000, tz=timezone.utc).replace(
+            microsecond=us % 1_000_000
+        )
+    return ets, level, message, attrs, ok
 
 
 # --- JVM fast path (hybrid parse, OPT-IN — measured slower on this corpus) ----
@@ -529,16 +596,23 @@ def _with_hybrid_parsed(
 
     df = df.withColumn("_pts", _jvm_ts_raw_parse(F.col("_tv")))
     masked = F.when(~F.col("_fast") & ~is_plain, line)  # else NULL -> UDF skips
-    df = df.withColumn("_pu", udf(masked, fallback_ts))
+    df = df.withColumn("_pu", udf(masked, F.unix_micros(fallback_ts.cast("timestamp"))))
 
     pu = F.col("_pu")
+    udf_out = {
+        "event_ts": F.timestamp_micros(pu["event_ts_us"]),
+        "level": pu["level"],
+        "message": pu["message"],
+        "attrs": F.from_json(pu["attrs_json"], "map<string,string>"),
+        "json_ok": pu["json_ok"],
+    }
     trimmed = F.regexp_replace(line, f"^{_J_PY_WS}+|{_J_PY_WS}+\\z", "")
 
     def pick(fast_expr, plain_expr, udf_field):
         case = (
             F.when(F.col("_fast"), fast_expr)
             .when(is_plain, plain_expr)
-            .otherwise(pu[udf_field])
+            .otherwise(udf_out[udf_field])
         )
         # Optimizer barrier, value-neutral: spark_partition_id() marks the
         # expression nondeterministic, which stops PushDownPredicates from
@@ -599,15 +673,35 @@ def _with_hybrid_parsed(
 
 # --- Spark surface -----------------------------------------------------------
 
+# The UDF exchanges ONLY cheap Arrow types. Timestamps cross as epoch
+# MICROS (int64, unix_micros on the way in / timestamp_micros on the way
+# out) and the attrs map crosses as an orjson-dumped JSON string decoded by
+# from_json JVM-side: Arrow serialization of object-dtype datetime columns
+# and list-of-dict map columns is per-element Python work that measured
+# ~6x the cost of the parse itself (UDF throughput 47k rows/s/core against
+# 304k rows/s for the bare parse loop); ints and strings are memcpy-class.
 PARSED_STRUCT = T.StructType(
     [
-        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("event_ts_us", T.LongType()),
         T.StructField("level", T.StringType()),
         T.StructField("message", T.StringType()),
-        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("attrs_json", T.StringType()),
         T.StructField("json_ok", T.BooleanType()),
     ]
 )
+
+_EPOCH_NAIVE = datetime(1970, 1, 1)
+
+_dumps = (
+    (lambda d: _orjson.dumps(d).decode())
+    if _orjson is not None
+    else (lambda d: json.dumps(d, ensure_ascii=False, separators=(",", ":")))
+)
+
+
+def _dt_to_us(dt: datetime) -> int:
+    td = dt - _EPOCH_NAIVE
+    return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
 
 
 def make_parse_udf(
@@ -618,49 +712,51 @@ def make_parse_udf(
 ):
     """Build the parse pandas UDF with a given config (mirrors the
     configurable FieldMappings / --json-prefix of the reference,
-    main.go:125-129, main.go:621-633)."""
+    main.go:125-129, main.go:621-633). Callers feed unix_micros(ts) and
+    re-materialize event_ts/attrs JVM-side — see with_parsed."""
     prefix_re = re.compile(json_prefix) if json_prefix else DEFAULT_PREFIX_RE
     ts_fields = tuple(ts_fields)
     level_fields = tuple(level_fields)
     msg_fields = tuple(msg_fields)
 
     @pandas_udf(PARSED_STRUCT)
-    def parse_udf(text: pd.Series, fallback_ts: pd.Series) -> pd.DataFrame:
+    def parse_udf(text: pd.Series, fallback_us: pd.Series) -> pd.DataFrame:
         n = len(text)
-        out_ts = [None] * n
+        out_us = [None] * n
         out_level = [None] * n
         out_msg = [None] * n
         out_attrs = [None] * n
         out_ok = [False] * n
-        fb = fallback_ts.tolist()
+        if fallback_us.isna().any():  # null ts -> float64 NaN from Arrow
+            fb = [None if v != v else int(v) for v in fallback_us.tolist()]
+        else:
+            fb = fallback_us.tolist()
+        dumps = _dumps
+        parse = parse_entry_us
         for i, line in enumerate(text.tolist()):
             if line is None:
                 # parse_entry("") result, inlined — also the O(1) skip for
                 # rows the hybrid plan masked out (JVM-parsed rows arrive
                 # here as NULL and their UDF output is discarded)
-                out_ts[i] = fb[i]
+                out_us[i] = fb[i]
                 out_level[i] = DEFAULT_LEVEL
                 out_msg[i] = ""
-                out_attrs[i] = {}
+                out_attrs[i] = "{}"
                 continue
-            ets, level, msg, attrs, ok = parse_entry(
+            us, level, msg, attrs, ok = parse(
                 line, prefix_re, ts_fields, level_fields, msg_fields
             )
-            if ets is None:
-                ets = fb[i]
-            elif ets.tzinfo is not None:
-                ets = ets.replace(tzinfo=None)  # session tz is UTC
-            out_ts[i] = ets
+            out_us[i] = fb[i] if us is None else us
             out_level[i] = level
             out_msg[i] = msg
-            out_attrs[i] = attrs
+            out_attrs[i] = dumps(attrs) if attrs else "{}"
             out_ok[i] = ok
         return pd.DataFrame(
             {
-                "event_ts": pd.Series(out_ts, dtype="object"),
+                "event_ts_us": pd.array(out_us, dtype="Int64"),
                 "level": out_level,
                 "message": out_msg,
-                "attrs": out_attrs,
+                "attrs_json": out_attrs,
                 "json_ok": out_ok,
             }
         )
@@ -719,7 +815,9 @@ def with_parsed(
         renames = {"_pe": "event_ts", "_pl": "level", "_pm": "message",
                    "_pa": "attrs", "_po": "json_ok"}
     else:
-        parsed = df.withColumn("_p", udf(F.col(text_col), F.col(ts_col)))
+        parsed = df.withColumn(
+            "_p", udf(F.col(text_col), F.unix_micros(F.col(ts_col).cast("timestamp")))
+        )
         renames = None
     if keep_text:
         parsed = parsed.withColumn("raw", F.col(text_col))
@@ -730,10 +828,10 @@ def with_parsed(
             parsed = parsed.withColumnRenamed(src, dst)
         return parsed
     return (
-        parsed.withColumn("event_ts", F.col("_p.event_ts"))
+        parsed.withColumn("event_ts", F.timestamp_micros(F.col("_p.event_ts_us")))
         .withColumn("level", F.col("_p.level"))
         .withColumn("message", F.col("_p.message"))
-        .withColumn("attrs", F.col("_p.attrs"))
+        .withColumn("attrs", F.from_json(F.col("_p.attrs_json"), "map<string,string>"))
         .withColumn("json_ok", F.col("_p.json_ok"))
         .drop("_p")
     )

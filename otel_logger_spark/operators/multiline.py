@@ -62,23 +62,25 @@ def coalesce_entries(
     tagged = nonempty.withColumn(
         "_entry_id", F.sum(is_start_col(F.col("text"), cont_pattern).cast("int")).over(w)
     )
+    # ordered string agg directly (Spark 4 listagg WITHIN GROUP) + min_by
+    # for the start line's fields: no per-entry struct array is ever
+    # materialized/sorted/re-flattened — the old collect_list + array_sort
+    # + transform + concat_ws chain copied every text ~4x, and collect_list
+    # aggregation is effectively sort-based past 128 keys
     entries = (
         tagged.filter(F.col("_entry_id") > 0)  # drop orphans (main.go:446-447)
         .groupBy(*group_cols, "_entry_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(order_col, "role", "text", "tool", "ts"))
-            ).alias("_lines")
+            F.min(order_col).alias(order_col),
+            F.min_by("role", order_col).alias("role"),
+            F.expr(
+                f"listagg(text, '\\n') WITHIN GROUP (ORDER BY {order_col})"
+            ).alias("text"),
+            F.min_by("tool", order_col).alias("tool"),
+            F.min_by("ts", order_col).alias("ts"),
+            F.count("*").alias("n_lines"),
         )
-        .select(
-            *group_cols,
-            F.col("_lines")[0][order_col].alias(order_col),
-            F.col("_lines")[0]["role"].alias("role"),
-            F.concat_ws("\n", F.transform("_lines", lambda x: x["text"])).alias("text"),
-            F.col("_lines")[0]["tool"].alias("tool"),
-            F.col("_lines")[0]["ts"].alias("ts"),
-            F.size("_lines").alias("n_lines"),
-        )
+        .select(*group_cols, order_col, "role", "text", "tool", "ts", "n_lines")
     )
     return entries
 

@@ -32,13 +32,17 @@ from otel_logger_spark.functions.parse import (
 )
 from otel_logger_spark.operators.multiline import DEFAULT_CONTINUATION_PATTERN
 
-# Go time.Duration syntax (time.ParseDuration): signless sequence of
-# decimal+unit parts, e.g. "500ms", "1m", "2m30s", "1.5h".
-_GO_DURATION_PART = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+# Go time.Duration syntax (time.ParseDuration): optionally-signed sequence
+# of decimal+unit parts, e.g. "500ms", "2m30s", "1.5h", ".5s", "1.s"; each
+# part needs >=1 digit in its int or frac place; bare (signed) "0" is the
+# one unitless form Go accepts. "µs" (U+00B5) and "μs" (U+03BC) both alias
+# microseconds, as in Go's unitMap.
+_GO_DURATION_PART = re.compile(r"(\d+(?:\.\d*)?|\.\d+)(ns|us|µs|μs|ms|s|m|h)")
 _UNIT_MS = {
     "ns": 1e-6,
     "us": 1e-3,
     "µs": 1e-3,
+    "μs": 1e-3,
     "ms": 1.0,
     "s": 1000.0,
     "m": 60_000.0,
@@ -49,17 +53,32 @@ _UNIT_MS = {
 def go_duration_to_interval(s: str) -> str:
     """Convert a Go duration string ("500ms", "2m30s", "1.5h") to a Spark
     interval string, matching the reference's time.Duration flag parsing
-    (main.go:38 --flush-interval). Raises ValueError on syntax Go rejects."""
+    (main.go:38 --flush-interval). Raises ValueError on syntax Go rejects,
+    and on negative durations (Go parses them, but a flush interval below
+    zero has no streaming-trigger meaning — fail loudly over silently
+    clamping). Sub-millisecond positives floor to 1 millisecond, the
+    smallest non-zero Spark trigger, never to a 0 interval."""
+    orig = s
     s = s.strip()
+    negative = False
+    if s[:1] in ("+", "-"):
+        negative = s[0] == "-"
+        s = s[1:]
+    if s == "0":  # Go's only unitless duration
+        return "0 milliseconds"
     pos = 0
     total_ms = 0.0
     for m in _GO_DURATION_PART.finditer(s):
         if m.start() != pos:
-            raise ValueError(f"invalid duration {s!r}")
+            raise ValueError(f"invalid duration {orig!r}")
         total_ms += float(m.group(1)) * _UNIT_MS[m.group(2)]
         pos = m.end()
     if pos != len(s) or pos == 0:
-        raise ValueError(f"invalid duration {s!r}")
+        raise ValueError(f"invalid duration {orig!r}")
+    if negative and total_ms > 0:
+        raise ValueError(f"negative flush interval not supported: {orig!r}")
+    if 0 < total_ms < 1:
+        return "1 milliseconds"
     return f"{int(round(total_ms))} milliseconds"
 
 

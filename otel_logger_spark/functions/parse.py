@@ -124,12 +124,13 @@ def _reject_const(name):  # Go json has no NaN/Infinity literals
 # identical leading/trailing-whitespace semantics.
 _STDLIB_DECODER = json.JSONDecoder(parse_constant=_reject_const)
 
-# orjson (4x faster than stdlib on the loads hot path) is strictly MORE
-# restrictive than our stdlib configuration — it rejects NaN/Infinity
-# (which we reject anyway), lone-surrogate escapes, and ints outside
-# 64-bit — so orjson-success never yields a different value than stdlib,
-# and every orjson failure retries through the stdlib path, preserving
-# semantics exactly (parity suite + oracles unchanged).
+# orjson (4x faster than stdlib on the loads hot path) rejects NaN/Infinity
+# (which we reject anyway) and lone-surrogate escapes, so those retry
+# through the stdlib path. Ints outside [i64min, u64max] it parses LOSSILY
+# as float instead of rejecting (stdlib yields a bigint) — harmless here
+# because go_v renders every number through Go's float64 formatting (Go's
+# json.Unmarshal into interface{} is float64 too), so both decoders produce
+# identical rendered output; parity suite + oracles unchanged.
 try:
     import orjson as _orjson
 except ImportError:  # pragma: no cover - present in this environment
@@ -764,6 +765,16 @@ def make_parse_udf(
     return parse_udf
 
 
+def _hybrid_env_enabled() -> bool:
+    """OTEL_SPARK_PARSE_HYBRID opts IN to the (measured-slower) hybrid
+    path: unset/empty and the usual negative spellings all mean OFF."""
+    import os
+
+    return os.environ.get(
+        "OTEL_SPARK_PARSE_HYBRID", ""
+    ).strip().lower() not in ("", "0", "false", "no", "off")
+
+
 def with_parsed(
     df,
     text_col: str = "text",
@@ -796,9 +807,7 @@ def with_parsed(
     import os
 
     if hybrid is None:
-        hybrid = os.environ.get("OTEL_SPARK_PARSE_HYBRID", "0") not in (
-            "0", "false",
-        )
+        hybrid = _hybrid_env_enabled()
     udf = make_parse_udf(json_prefix, ts_fields, level_fields, msg_fields)
     if hybrid and _hybrid_applicable(
         json_prefix, ts_fields, level_fields, msg_fields

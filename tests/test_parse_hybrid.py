@@ -143,3 +143,19 @@ def test_hybrid_covers_majority_of_synth(spark):
     # the pay-off metric: few rows cross to Python
     assert c["python"] / total < 0.25, c
     assert c["fast"] / total > 0.2, c
+
+
+def test_hybrid_env_var_normalization(monkeypatch):
+    """Unset/empty and the usual negative spellings must all mean OFF —
+    the env var opts IN to the (measured-slower) hybrid path, so a user
+    exporting OTEL_SPARK_PARSE_HYBRID="" or "no" must not enable it."""
+    from otel_logger_spark.functions.parse import _hybrid_env_enabled
+
+    monkeypatch.delenv("OTEL_SPARK_PARSE_HYBRID", raising=False)
+    assert _hybrid_env_enabled() is False
+    for off in ("", "0", "false", "FALSE", "no", " No ", "off"):
+        monkeypatch.setenv("OTEL_SPARK_PARSE_HYBRID", off)
+        assert _hybrid_env_enabled() is False, f"{off!r} wrongly enabled hybrid"
+    for on in ("1", "true", "ON", "yes"):
+        monkeypatch.setenv("OTEL_SPARK_PARSE_HYBRID", on)
+        assert _hybrid_env_enabled() is True, f"{on!r} failed to enable hybrid"

@@ -81,8 +81,18 @@ def test_config_go_durations():
     assert go_duration_to_interval("1m") == "60000 milliseconds"
     assert go_duration_to_interval("2m30s") == "150000 milliseconds"
     assert go_duration_to_interval("1.5h") == "5400000 milliseconds"
-    assert go_duration_to_interval("100us") == "0 milliseconds"
-    for bad in ("", "5", "s", "5x", "5s5", "ms5"):
+    # sub-ms floors to the smallest non-zero trigger, never a 0 interval
+    assert go_duration_to_interval("100us") == "1 milliseconds"
+    assert go_duration_to_interval("1ns") == "1 milliseconds"
+    # Go-valid digit forms: frac-only, trailing-dot int, signed, bare zero
+    assert go_duration_to_interval(".5s") == "500 milliseconds"
+    assert go_duration_to_interval("1.s") == "1000 milliseconds"
+    assert go_duration_to_interval("+2s") == "2000 milliseconds"
+    assert go_duration_to_interval("0") == "0 milliseconds"
+    assert go_duration_to_interval("-0") == "0 milliseconds"
+    assert go_duration_to_interval("0s") == "0 milliseconds"
+    assert go_duration_to_interval("1μs") == "1 milliseconds"  # U+03BC alias
+    for bad in ("", "5", "s", "5x", "5s5", "ms5", ".s", "-", "-1s"):
         with pytest.raises(ValueError):
             go_duration_to_interval(bad)
 

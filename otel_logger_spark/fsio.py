@@ -29,6 +29,7 @@ class HadoopFS:
 
     def __init__(self, spark, path: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(path).getFileSystem(self._conf)
@@ -52,10 +53,17 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, path: str, text: str) -> None:
-        """tmp-write + rename: the same commit unit on HDFS (atomic rename)
-        and on object stores (single-object PUT visibility for the tmp,
-        then server-side copy — the manifest is small, so the non-atomic
-        rename window on S3 is one tiny object)."""
+        """tmp-write + overwrite-rename. The rename goes through
+        ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — one atomic
+        step on HDFS and local FS, so there is never an instant where the
+        target is absent (a delete-then-rename pair would lose the manifest
+        to a crash between the two calls and silently restart every sink on
+        resume). Schemes without an AbstractFileSystem binding (some
+        object-store connectors) fall back to delete+rename; readers cover
+        that window by falling back to the completed ``.tmp`` file
+        (read_text_with_fallback) — the tmp is fully written and closed
+        before any rename/delete starts, so the fallback never sees a
+        partial manifest."""
         tmp = path + ".tmp"
         out = self._fs.create(self._p(tmp), True)
         try:
@@ -63,9 +71,32 @@ class HadoopFS:
         finally:
             out.close()
         target = self._p(path)
-        if self._fs.exists(target):
-            self._fs.delete(target, False)
-        self._fs.rename(self._p(tmp), target)
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                target.toUri(), self._conf
+            )
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(Rename, 1)
+            opts[0] = Rename.OVERWRITE
+            fc.rename(self._p(tmp), target, opts)
+        except Exception:
+            # no FileContext for this scheme (UnsupportedFileSystemException,
+            # typical of object stores): non-atomic fallback; a real rename
+            # failure (missing tmp, permissions) re-raises from here too
+            if self._fs.exists(target):
+                self._fs.delete(target, False)
+            self._fs.rename(self._p(tmp), target)
+
+    def read_text_with_fallback(self, path: str) -> str | None:
+        """Read ``path``; if absent, read the completed ``path``.tmp left by
+        a crash inside the non-atomic fallback rename window; None if
+        neither exists."""
+        if self.exists(path):
+            return self.read_text(path)
+        tmp = path + ".tmp"
+        if self.exists(tmp):
+            return self.read_text(tmp)
+        return None
 
     def list_files_recursive(self, path: str, suffix: str = ".parquet"):
         """Yield paths (as strings) of all files under ``path`` with the
@@ -80,8 +111,11 @@ class HadoopFS:
         return out
 
     def parquet_row_count(self, path: str) -> int:
-        """Footer-only row count via parquet-hadoop (ranged GET on object
-        storage; no data pages read)."""
+        """Footer-only row count of ONE file via parquet-hadoop (ranged GET
+        on object storage; no data pages read). Single-file utility: the
+        test suite uses it to cross-check the distributed lineage counts;
+        product lineage never loops this per file (sinks.py
+        parquet_partition_lineage runs one distributed job instead)."""
         HadoopInputFile = self._jvm.org.apache.parquet.hadoop.util.HadoopInputFile
         ParquetFileReader = self._jvm.org.apache.parquet.hadoop.ParquetFileReader
         reader = ParquetFileReader.open(
@@ -100,3 +134,27 @@ class HadoopFS:
         if full_q.startswith(base_q + "/"):
             return full_q[len(base_q) + 1 :]
         return full_q
+
+    def relativize_many(self, base: str, paths: list[str]) -> list[str]:
+        """Relativize many already-fully-qualified URIs (e.g. from
+        ``input_file_name()``) against ``base`` with ONE py4j round-trip —
+        the per-path comparison is pure-Python URI parsing, so this stays
+        O(1) gateway calls however many part files a sink has. Handles the
+        ``file:///p`` (input_file_name) vs ``file:/p`` (Hadoop
+        Path.toString) rendering split by comparing parsed components."""
+        from urllib.parse import urlparse
+
+        bq = urlparse(self._fs.makeQualified(self._p(base)).toString())
+        bpath = bq.path.rstrip("/")
+        out = []
+        for p in paths:
+            q = urlparse(p)
+            if (
+                q.scheme == bq.scheme
+                and q.netloc == bq.netloc
+                and q.path.startswith(bpath + "/")
+            ):
+                out.append(q.path[len(bpath) + 1 :])
+            else:
+                out.append(p)
+        return out

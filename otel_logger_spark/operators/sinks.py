@@ -41,11 +41,17 @@ def _manifest_path(out_dir: str, run_id: str) -> str:
 
 def load_manifest(spark, out_dir: str, run_id: str) -> dict:
     """Manifest IO goes through the Hadoop FileSystem of out_dir's scheme —
-    the same code path serves file:/, hdfs:/ and s3a:/ deployments."""
+    the same code path serves file:/, hdfs:/ and s3a:/ deployments. When
+    the target is absent, a completed ``.tmp`` from the non-atomic-rename
+    fallback window is honored (fsio.read_text_with_fallback), so a crash
+    mid-overwrite never silently restarts committed sinks."""
     fs = HadoopFS(spark, out_dir)
-    p = _manifest_path(out_dir, run_id)
-    if fs.exists(p):
-        return json.loads(fs.read_text(p))
+    text = fs.read_text_with_fallback(_manifest_path(out_dir, run_id))
+    if text is not None:
+        try:
+            return json.loads(text)
+        except ValueError:
+            pass  # torn first-ever write: start a fresh manifest
     return {"run_id": run_id, "sinks": {}}
 
 
@@ -62,18 +68,36 @@ def save_manifest(spark, out_dir: str, manifest: dict) -> None:
 def parquet_partition_lineage(spark, path: str) -> list[dict]:
     """Per-partition lineage read from the committed parquet footers: every
     write task produces one part file, so footer row counts ARE the
-    per-partition counts — no extra Spark action over the data. Footer
-    reads are O(files) driver-side metadata fetches via the Hadoop FS
-    (cheap even at 10^4 files; on object storage they're ranged GETs)."""
+    per-partition counts.
+
+    The counts come from ONE distributed Spark job: an empty-required-schema
+    scan (``ReadSchema: struct<>`` — the vectorized reader serves batch
+    sizes straight from row-group metadata, no column pages decoded)
+    grouped by ``input_file_name()``, one tiny output row per part file.
+    At the 100 TB target's 10^5-10^6 part files this is seconds of
+    cluster-parallel metadata work; the round-2 version looped footer reads
+    serially on the driver (py4j round-trip + object-store ranged GET per
+    file — minutes to hours inside every sink's commit path).
+    Relativization of the returned URIs is pure-Python string work
+    (fsio.relativize_many): O(1) gateway calls total."""
+    try:
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+    except Exception:
+        # zero-row sink: overwrite leaves no part files, only _SUCCESS, and
+        # the read fails schema inference — an empty lineage is correct
+        return []
     fs = HadoopFS(spark, path)
-    rels = sorted(
-        fs.relativize(path, f) for f in fs.list_files_recursive(path, ".parquet")
-    )
-    parts = []
-    for i, rel in enumerate(rels):
-        n = fs.parquet_row_count(join_path(path, rel))
-        parts.append({"partition_id": i, "n_rows": n, "file": rel})
-    return parts
+    rels = fs.relativize_many(path, [r["file"] for r in rows])
+    by_file = sorted(zip(rels, (int(r["n_rows"]) for r in rows)))
+    return [
+        {"partition_id": i, "n_rows": n, "file": rel}
+        for i, (rel, n) in enumerate(by_file)
+    ]
 
 
 def _commit(spark, manifest, out_dir, sink, path, n_rows, t0, partitions):
@@ -167,13 +191,16 @@ def _write_one(
     partition_by: list[str] | None = None,
     options: dict | None = None,
 ) -> tuple[int, list[dict]]:
+    # the authoritative row count rides the write itself via Observation —
+    # zero extra actions over the data for ANY format
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     if fmt == "json":
-        obs = Observation()
-        w = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite")
+        w = df.write.mode("overwrite")
         if options:
             w = w.options(**options)
         w.json(path)
-        return obs.get["n"], []  # json has no footers; Observation rides the write
+        return obs.get["n"], []  # json has no footers for per-file lineage
     # snappy on the sink critical path (encode ~3x faster than zstd);
     # storage-economy runs can override via OTEL_SPARK_SINK_CODEC=zstd
     codec = os.environ.get("OTEL_SPARK_SINK_CODEC", "snappy")
@@ -185,8 +212,18 @@ def _write_one(
         # (the parquet stand-in for Iceberg's day(ts) partition spec)
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    n_rows = obs.get["n"]
     parts = parquet_partition_lineage(df.sparkSession, path)
-    return sum(p["n_rows"] for p in parts), parts
+    n_footer = sum(p["n_rows"] for p in parts)
+    if n_footer != n_rows:
+        # footers disagreeing with the observed write means the lineage
+        # would be lying (leftover files, torn commit) — fail the sink
+        # rather than record corrupt provenance
+        raise RuntimeError(
+            f"lineage mismatch at {path}: wrote {n_rows} rows, "
+            f"footers sum to {n_footer}"
+        )
+    return n_rows, parts
 
 
 def write_routed_sinks(

@@ -259,3 +259,97 @@ def test_enrich_expr_equals_join_variants(spark, transcripts):
     join = enrich_tool_join(enrich_severity_join(parsed)).select(*cols)
     assert expr.exceptAll(join).count() == 0
     assert join.exceptAll(expr).count() == 0
+
+
+def test_lineage_distributed_no_serial_footer_loop(spark, tmp_path, monkeypatch):
+    """Per-partition lineage over MANY part files must come from one
+    distributed job, never a per-file serial driver loop: write >=200 part
+    files, assert zero HadoopFS.parquet_row_count calls during collection,
+    then cross-check a sample of the distributed counts against real
+    footer reads."""
+    import otel_logger_spark.fsio as fsio
+    from otel_logger_spark.fsio import HadoopFS, join_path
+    from otel_logger_spark.operators.sinks import _write_one
+
+    calls = []
+    real_prc = HadoopFS.parquet_row_count
+    monkeypatch.setattr(
+        HadoopFS, "parquet_row_count",
+        lambda self, p: calls.append(p) or real_prc(self, p),
+    )
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    ).repartition(220)
+    path = str(tmp_path / "many_parts")
+    n, parts = _write_one(df, path, "parquet")
+    assert not calls, "lineage must not issue per-file driver footer reads"
+    assert n == 50_000
+    assert len(parts) >= 200
+    assert sum(p["n_rows"] for p in parts) == n
+    # manifest entry schema unchanged
+    assert set(parts[0]) == {"partition_id", "n_rows", "file"}
+    assert [p["partition_id"] for p in parts] == list(range(len(parts)))
+    # distributed counts agree with genuine footer metadata on a sample
+    fs = HadoopFS(spark, path)
+    for p in parts[:: max(1, len(parts) // 3)][:3]:
+        assert real_prc(fs, join_path(path, p["file"])) == p["n_rows"]
+
+
+def test_manifest_overwrite_is_atomic_rename(spark, tmp_path):
+    """Manifest overwrite must never pass through a window where the target
+    is absent: on FileContext-capable schemes (local, HDFS) the rename is a
+    single OVERWRITE step — assert no delete() is ever issued — and the
+    fallback window is covered by .tmp recovery (next test)."""
+    from otel_logger_spark.fsio import HadoopFS
+
+    h = HadoopFS(spark, str(tmp_path))
+    real_fs = h._fs
+
+    class SpyFS:
+        def __init__(self, real):
+            self._real = real
+            self.deletes = 0
+
+        def delete(self, *a):
+            self.deletes += 1
+            return self._real.delete(*a)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    h._fs = SpyFS(real_fs)
+    p = str(tmp_path / "m.json")
+    h.write_text_atomic(p, "v1")
+    h.write_text_atomic(p, "v2")  # overwrite of an existing target
+    assert h._fs.deletes == 0, "overwrite must use atomic rename, not delete+rename"
+    h._fs = real_fs
+    assert h.read_text(p) == "v2"
+
+
+def test_manifest_crash_window_recovers_from_tmp(spark, tmp_path):
+    """Schemes without FileContext fall back to delete+rename; a crash in
+    that window leaves only the COMPLETED .tmp — load_manifest must recover
+    it instead of silently restarting all sinks."""
+    import json as _json
+
+    from otel_logger_spark.fsio import HadoopFS
+    from otel_logger_spark.operators.sinks import (
+        _manifest_path, load_manifest, save_manifest,
+    )
+
+    out = "file://" + str(tmp_path / "crashy")
+    m = {"run_id": "rC", "sinks": {"logs": {"status": "committed", "n_rows": 5}}}
+    save_manifest(spark, out, m)
+    # simulate the fallback crash: target deleted, completed .tmp present
+    fs = HadoopFS(spark, out)
+    target = _manifest_path(out, "rC")
+    fs.write_text_atomic(target + ".tmp_stage", "")  # ensure dir exists
+    tmp_text = _json.dumps(m)
+    h = fs._fs
+    p = fs._p(target)
+    # write the .tmp as the fallback would, then delete the target
+    o = h.create(fs._p(target + ".tmp"), True)
+    o.write(bytearray(tmp_text.encode()))
+    o.close()
+    h.delete(p, False)
+    assert load_manifest(spark, out, "rC") == m  # recovered from .tmp

@@ -22,6 +22,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def _cap_hot_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows of buckets with more than ``max_bucket`` members. The
+    member count is a window over the same ``keys`` the candidate join
+    shuffles on — no extra shuffle. Callers that enable a cap should pair
+    it with ``bucket_cap_report`` so no exclusion is ever silent.
+
+    (An Observation riding the join was tried and rejected: the two sides
+    of a self-join canonicalize to the same subtree, so the CollectMetrics
+    node can be deduplicated/pruned and the metric silently under-reports —
+    worse than an honest separate accounting job.)"""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
+def bucket_cap_report(
+    df_bucketed: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """No-silent-caps accounting for a hot-bucket guard: ONE row —
+    excluded_rows (bucket-membership rows the cap drops), capped_buckets,
+    max_bucket_size. A separate tiny job (groupBy(keys).count + a global
+    aggregate — the same shuffle size as the candidate join's key space),
+    deliberately NOT an Observation riding the join: see _cap_hot_buckets.
+    Wrappers: minhash_cap_report / simhash_cap_report /
+    similarity.near_dup_cap_report."""
+    per = df_bucketed.groupBy(*keys).agg(F.count("*").alias("n"))
+    return per.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)),
+            F.lit(0),
+        ).alias("excluded_rows"),
+        F.coalesce(F.sum((F.col("n") > max_bucket).cast("long")), F.lit(0)).alias(
+            "capped_buckets"
+        ),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_size"),
+    )
+
 # --- shingling ---------------------------------------------------------------
 
 
@@ -152,26 +193,11 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    sig: DataFrame,
-    bands: int = 8,
-    rows: int = 4,
-    id_col: str = "doc_id",
-    max_bucket: int | None = 10_000,
+def _minhash_banded(
+    sig: DataFrame, bands: int, rows: int, id_col: str
 ) -> DataFrame:
-    """Band the signature (bands x rows = k); docs sharing any band bucket
-    are candidate pairs.
-
-    ``max_bucket`` is the hot-bucket guard: a bucket with more than
-    max_bucket members is excluded from the self-join (a degenerate corpus
-    — millions of near-identical docs landing in one bucket — would
-    otherwise make that bucket quadratic). The count is a window over the
-    same (band, bucket) partitioning the join shuffles on, so the guard
-    adds no extra shuffle. Members of a capped bucket are near-identical by
-    construction; run exact dedup (drop_exact_dups) first so such families
-    are already collapsed, and treat a still-hot bucket as one dup family
-    rather than enumerating its O(n^2) pairs. None disables the cap."""
-    banded = sig.select(
+    """One (id, band, bucket) row per band membership."""
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -193,11 +219,35 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame,
+    bands: int = 8,
+    rows: int = 4,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signature (bands x rows = k); docs sharing any band bucket
+    are candidate pairs.
+
+    ``max_bucket`` is the OPT-IN hot-bucket guard: a bucket with more than
+    max_bucket members is excluded from the self-join (a degenerate corpus
+    — millions of near-identical docs landing in one bucket — would
+    otherwise make that bucket quadratic). The count is a window over the
+    same (band, bucket) partitioning the join shuffles on, so the guard
+    adds no extra shuffle. Members of a capped bucket are near-identical by
+    construction; run exact dedup (drop_exact_dups) first so such families
+    are already collapsed, and treat a still-hot bucket as one dup family
+    rather than enumerating its O(n^2) pairs.
+
+    The default None keeps the public function EXHAUSTIVE (no silently
+    dropped pairs). Scale callers (the pipeline gates pass 10_000) should
+    pair the cap with ``minhash_cap_report`` to account for every excluded
+    row — never a silent cap."""
+    banded = _minhash_banded(sig, bands, rows, id_col)
     if max_bucket is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = banded.withColumn("_bn", F.count("*").over(w)).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
+        banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -210,6 +260,20 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_cap_report(
+    sig: DataFrame,
+    bands: int = 8,
+    rows: int = 4,
+    id_col: str = "doc_id",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """What a minhash_lsh_candidates(max_bucket=...) run excludes:
+    one row of (excluded_rows, capped_buckets, max_bucket_size)."""
+    return bucket_cap_report(
+        _minhash_banded(sig, bands, rows, id_col), ["band", "bucket"], max_bucket
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -218,10 +282,11 @@ def minhash_dedup_pairs(
     rows: int = 4,
     n: int = 3,
     id_col: str = "doc_id",
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (verify only candidates —
-    the scalable near-dup shape)."""
+    the scalable near-dup shape). ``max_bucket``: see
+    minhash_lsh_candidates (opt-in; pair with minhash_cap_report)."""
     cands = minhash_lsh_candidates(
         minhash_signatures(df, k, n, id_col), bands, rows, id_col, max_bucket
     )
@@ -275,19 +340,9 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select(id_col, sim.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    max_bucket: int | None = 10_000,
-) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming. Candidates via 4x16-bit
-    chunk equality (pigeonhole holds for max_hamming <= 3); exact distance
-    via bit_count(xor). ``max_bucket`` is the same hot-bucket guard as
-    minhash_lsh_candidates (windowed count on the join's own (chunk, val)
-    partitioning; no extra shuffle)."""
-    sig = simhash_signatures(df, id_col)
-    chunks = sig.select(
+def _simhash_chunks(sig: DataFrame, id_col: str) -> DataFrame:
+    """One (id, simhash, chunk, val) row per 16-bit chunk membership."""
+    return sig.select(
         id_col,
         "simhash",
         F.explode(
@@ -304,11 +359,23 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.val")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming. Candidates via 4x16-bit
+    chunk equality (pigeonhole holds for max_hamming <= 3); exact distance
+    via bit_count(xor). ``max_bucket`` is the same opt-in hot-bucket guard
+    as minhash_lsh_candidates (windowed count on the join's own (chunk,
+    val) partitioning; no extra shuffle) — pair with simhash_cap_report so
+    no exclusion is silent."""
+    chunks = _simhash_chunks(simhash_signatures(df, id_col), id_col)
     if max_bucket is not None:
-        w = Window.partitionBy("chunk", "val")
-        chunks = chunks.withColumn("_bn", F.count("*").over(w)).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
+        chunks = _cap_hot_buckets(chunks, ["chunk", "val"], max_bucket)
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (
@@ -323,3 +390,15 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def simhash_cap_report(
+    df: DataFrame, id_col: str = "doc_id", max_bucket: int = 10_000
+) -> DataFrame:
+    """What a simhash_near_pairs(max_bucket=...) run excludes: one row of
+    (excluded_rows, capped_buckets, max_bucket_size)."""
+    return bucket_cap_report(
+        _simhash_chunks(simhash_signatures(df, id_col), id_col),
+        ["chunk", "val"],
+        max_bucket,
+    )

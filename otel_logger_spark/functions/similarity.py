@@ -160,7 +160,7 @@ def near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via the bucketed plan: multi-table
     hyperplane LSH candidates (a (table, bucket) self-equi-join instead of
@@ -170,8 +170,11 @@ def near_dup_pairs_lsh(
     tables a cos>=0.95 pair collides in some table with prob ~1-1e-5 over
     the plane draw — and the planes are seed-fixed, so for a given dataset
     the result is deterministic (the gate asserts equality with the exact
-    oracle on its datasets). ``max_bucket`` is the hot-bucket guard
-    (windowed count on the join's own keys; no extra shuffle)."""
+    oracle on its datasets). ``max_bucket`` is the opt-in hot-bucket guard
+    (windowed count on the join's own keys, no extra shuffle) — pair with
+    near_dup_cap_report so no exclusion is silent."""
+    from otel_logger_spark.functions.dedup import _cap_hot_buckets
+
     c = _with_multitable_buckets(
         with_norm(corpus, vec_col), n_planes, n_tables, dim, vec_col, seed
     ).select(
@@ -182,10 +185,7 @@ def near_dup_pairs_lsh(
         F.col("_tb.bucket").alias("bucket"),
     )
     if max_bucket is not None:
-        w = Window.partitionBy("table", "bucket")
-        c = c.withColumn("_bn", F.count("*").over(w)).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
+        c = _cap_hot_buckets(c, ["table", "bucket"], max_bucket)
     a = c.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
         F.col("_n").alias("_na"), "table", "bucket",
@@ -211,6 +211,30 @@ def near_dup_pairs_lsh(
         .filter(F.col("sim_micro") >= int(threshold * 1_000_000))
         .select("id_a", "id_b", "sim_micro")
     )
+
+
+def near_dup_cap_report(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """What a near_dup_pairs_lsh(max_bucket=...) run excludes: one row of
+    (excluded_rows, capped_buckets, max_bucket_size)."""
+    from otel_logger_spark.functions.dedup import bucket_cap_report
+
+    c = _with_multitable_buckets(
+        corpus, n_planes, n_tables, dim, vec_col, seed
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("_tb.table").alias("table"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+    return bucket_cap_report(c, ["table", "bucket"], max_bucket)
 
 
 def lsh_ann_topk(

@@ -89,13 +89,23 @@ O_NGRAM_JACCARD = (
 
 def q_minhash_pairs(spark, sf_dir):
     """LSH-accelerated near-dup (rows-only gate; pytest cross-checks recall
-    against the exact n-gram Jaccard)."""
-    return minhash_dedup_pairs(load_corpus(spark, sf_dir), threshold=0.5)
+    against the exact n-gram Jaccard). The gate passes the hot-bucket cap
+    EXPLICITLY — the 100 TB shape; the cap is opt-in on the public function
+    and no gate-corpus bucket approaches it, so results equal the
+    exhaustive plan (tests/test_training_ops.py asserts the cap fires on a
+    degenerate corpus and is fully accounted by minhash_cap_report /
+    simhash_cap_report — no silent caps)."""
+    return minhash_dedup_pairs(
+        load_corpus(spark, sf_dir), threshold=0.5, max_bucket=10_000
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup (rows-only gate; pytest golden-checks hamming)."""
-    return simhash_near_pairs(load_corpus(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup (rows-only gate; pytest golden-checks hamming).
+    Explicit hot-bucket cap: see q_minhash_pairs."""
+    return simhash_near_pairs(
+        load_corpus(spark, sf_dir), max_hamming=3, max_bucket=10_000
+    )
 
 
 # --- similarity ----------------------------------------------------------------
@@ -145,11 +155,14 @@ def q_embedding_near_dup(spark, sf_dir):
     """Near-dup pairs via the BUCKETED plan (multi-table LSH candidates +
     exact-cosine verify) — the 100 TB shape; the exact oracle still
     hash-matches because false candidates are exactly filtered and the
-    seeded tables find every >=0.9 pair on these datasets (verified at
-    sf0.001/0.01/0.1 by tests/test_training_ops.py)."""
+    seeded tables find every >=0.9 pair on these datasets (LSH-vs-brute
+    equality verified at sf0.001, sf0.01 AND sf0.1 by
+    tests/test_training_ops.py::test_near_dup_lsh_equals_brute).
+    Explicit hot-bucket cap: see q_minhash_pairs."""
     vecs = _augmented_vectors(spark, sf_dir)
     return near_dup_pairs_lsh(
-        vecs, threshold=0.9, dim=64, id_col="vec_id", vec_col="v"
+        vecs, threshold=0.9, dim=64, id_col="vec_id", vec_col="v",
+        max_bucket=10_000,
     )
 
 
@@ -262,10 +275,42 @@ FROM q GROUP BY 1
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Rolling-hash fingerprints (rows-only; pytest pins golden values and
-    the append-robustness property)."""
+    """Rolling-hash fingerprints, now ORACLE-CHECKED: the winnowing-lite
+    min-window polynomial hash is re-derived independently in DuckDB SQL
+    (list_reduce over code points per 32-char window, HUGEINT modular
+    arithmetic) — a genuine cross-engine computation, not a golden pin.
+    pytest additionally pins golden values + the append-robustness
+    property."""
     docs = with_fingerprint(_load_documents(spark, sf_dir))
     return docs.select("doc_id", "fingerprint")
+
+
+# Independent DuckDB re-derivation of functions/text.py fingerprint_text:
+# per doc, code points -> polynomial rolling hash mod 2^61-1 (base 1000003)
+# of every 32-char window -> min; short docs hash whole-string. The lambda
+# runs in HUGEINT (128-bit) so h*base+c never overflows before the mod.
+# O(len*32) per doc is fine for an oracle at sf<=0.01 (DuckDB ~5s/500 docs).
+_FP_LAMBDA = "(h,c) -> (h*1000003+c) % 2305843009213693951"
+O_DOC_FINGERPRINT = f"""
+WITH d AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, length(text)),
+                   i -> unicode(text[i:i])::HUGEINT) AS cps
+  FROM documents),
+w AS (SELECT doc_id, cps, len(cps) AS n FROM d),
+mins AS (
+  SELECT doc_id,
+    CASE WHEN n <= 32 THEN
+      list_reduce(list_prepend(0::HUGEINT, cps), {_FP_LAMBDA})
+    ELSE
+      list_min(list_transform(generate_series(1, n-31),
+        i -> list_reduce(list_prepend(0::HUGEINT, cps[i : i+31]),
+                         {_FP_LAMBDA})))
+    END AS fp
+  FROM w)
+SELECT doc_id, CAST(fp - 4611686018427387904 AS BIGINT) AS fingerprint
+FROM mins
+"""
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -307,5 +352,6 @@ ORACLES_C = {
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "lang_id": O_LANG_ID,
     "text_quality": O_TEXT_QUALITY,
+    "doc_fingerprint": O_DOC_FINGERPRINT,
     "multimodal_decode": O_MULTIMODAL_DECODE,
 }

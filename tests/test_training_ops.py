@@ -251,23 +251,40 @@ def test_hot_bucket_cap_degenerate_corpus(spark):
     df = spark.range(n).select(
         F.col("id").alias("doc_id"), F.lit(base).alias("text")
     )
+    from otel_logger_spark.functions.dedup import (
+        minhash_cap_report,
+        simhash_cap_report,
+    )
+
     sig = minhash_signatures(df, k=32, n=3)
     t0 = time.monotonic()
     capped = minhash_lsh_candidates(sig, max_bucket=100).count()
     dt = time.monotonic() - t0
     assert capped == 0  # the single mega-bucket is excluded, not enumerated
     assert dt < 120, f"capped candidate join took {dt:.0f}s"
+    # the cap is never silent: the report accounts every excluded
+    # bucket-membership row (8 bands x 10k identical docs)
+    rep = minhash_cap_report(sig, max_bucket=100).collect()[0]
+    assert rep["excluded_rows"] == 8 * n
+    assert rep["capped_buckets"] == 8
+    assert rep["max_bucket_size"] == n
     # identical simhash values -> one (chunk, val) mega-bucket, same guard
     assert simhash_near_pairs(df, max_bucket=100).count() == 0
+    rep2 = simhash_cap_report(df, max_bucket=100).collect()[0]
+    assert rep2["excluded_rows"] == 4 * n  # 4 chunks x 10k docs
+    # and a cap that never fires reports zero exclusions
+    rep3 = minhash_cap_report(sig, max_bucket=n + 1).collect()[0]
+    assert rep3["excluded_rows"] == 0 and rep3["capped_buckets"] == 0
 
 
 def test_hot_bucket_cap_preserves_real_pairs(spark):
-    """A generous cap (the default) must not drop pairs on a normal
-    corpus: capped and uncapped candidate sets agree."""
+    """A generous explicit cap (what the gates pass) must not drop pairs
+    on a normal corpus: capped and uncapped (the public default) candidate
+    sets agree."""
     df = _corpus(spark)
     capped = {
         (r["doc_a"], r["doc_b"])
-        for r in minhash_dedup_pairs(df, threshold=0.5).collect()
+        for r in minhash_dedup_pairs(df, threshold=0.5, max_bucket=10_000).collect()
     }
     uncapped = {
         (r["doc_a"], r["doc_b"])
@@ -286,7 +303,7 @@ def test_near_dup_lsh_equals_brute(spark):
     )
     from otel_logger_spark.queries_training import _augmented_vectors
 
-    for sf in ("0.001", "0.01"):
+    for sf in ("0.001", "0.01", "0.1"):
         vecs = _augmented_vectors(spark, f"/root/testdata/sf{sf}")
         brute = {
             (r.id_a, r.id_b, r.sim_micro)

@@ -68,6 +68,69 @@ def build_streaming_routed(
     return with_routing(enrich_tool(enrich_severity(parsed)))
 
 
+STREAM_OUT_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "event_ts", "level",
+    "severity_num", "message", "attrs", "raw",
+]
+
+
+def write_streaming_batch(batch_df: DataFrame, batch_id: int, out_dir: str):
+    """One micro-batch's fan-out: the SAME FOUR sinks as the batch pipeline
+    (logs / error / tool_call / conversation_metrics — A4 parity with
+    executeCommand's terminal record, /root/reference/main.go:577-591).
+
+    Exactly-once per (sink, batchId): each micro-batch lands in its own
+    batchid=<id> partition with overwrite, so a retried batch (failure
+    between sink writes) rewrites its partitions instead of
+    double-appending — idempotent on top of the streaming checkpoint's
+    at-least-once redelivery.
+
+    conversation_metrics is written as PER-BATCH PARTIALS: every metric
+    field is a decomposable aggregate (sums / mins / maxes), so
+    read_conversation_metrics re-aggregates the partials into exactly the
+    batch pipeline's per-conversation rollup — a conversation spanning
+    many micro-batches still finalizes correctly, without any unbounded
+    streaming state."""
+    from otel_logger_spark.operators.rollups import conversation_metrics
+
+    batch_df = batch_df.persist()
+    try:
+        base = batch_df.select(*STREAM_OUT_COLS)
+        for sink, flt in (
+            ("logs", None),
+            ("error", batch_df["is_error"]),
+            ("tool_call", batch_df["is_tool_call"]),
+        ):
+            df = base if flt is None else base.filter(flt)
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, sink, f"batchid={batch_id}")
+            )
+        conversation_metrics(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "conversation_metrics", f"batchid={batch_id}")
+        )
+    finally:
+        batch_df.unpersist()
+
+
+def read_conversation_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Finalize the streaming conversation_metrics sink: merge the
+    per-batch partials into one row per conversation — field-for-field the
+    batch pipeline's conversation_metrics (tests assert equality). The
+    merge is a pure re-aggregation (sum/min/max), safe whatever the
+    batch boundaries were."""
+    parts = spark.read.parquet(os.path.join(out_dir, "conversation_metrics"))
+    return parts.groupBy("conv_id").agg(
+        F.sum("n_entries").alias("n_entries"),
+        F.max("last_turn_idx").alias("last_turn_idx"),
+        F.sum("n_errors").alias("n_errors"),
+        F.sum("n_tool_calls").alias("n_tool_calls"),
+        F.sum("n_json").alias("n_json"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.max("exit_code").alias("exit_code"),
+    )
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -92,30 +155,8 @@ def run_streaming_pipeline(
         idle_flush_ms=idle_flush_ms,
     )
 
-    out_cols = [
-        "conv_id", "turn_idx", "role", "tool", "event_ts", "level",
-        "severity_num", "message", "attrs", "raw",
-    ]
-
     def write_batch(batch_df: DataFrame, batch_id: int):
-        # exactly-once per (sink, batchId): each micro-batch lands in its
-        # own batchid=<id> partition with overwrite, so a retried batch
-        # (failure between the three sink writes) rewrites its partitions
-        # instead of double-appending
-        batch_df = batch_df.persist()
-        try:
-            base = batch_df.select(*out_cols)
-            for sink, flt in (
-                ("logs", None),
-                ("error", batch_df["is_error"]),
-                ("tool_call", batch_df["is_tool_call"]),
-            ):
-                df = base if flt is None else base.filter(flt)
-                df.write.mode("overwrite").parquet(
-                    os.path.join(out_dir, sink, f"batchid={batch_id}")
-                )
-        finally:
-            batch_df.unpersist()
+        write_streaming_batch(batch_df, batch_id, out_dir)
 
     writer = routed.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -80,3 +80,58 @@ def test_streaming_flush_windows(spark, tmp_path):
         for r in flush_window_counts(with_parsed(batch), "5 seconds").collect()
     }
     assert got == exp
+
+
+def test_streaming_conversation_metrics_matches_batch(spark, tmp_path):
+    """A4 parity in streaming mode: the conversation_metrics sink must
+    finalize to exactly the batch pipeline's per-conversation rollup, even
+    when conversations span micro-batches (maxFilesPerTrigger=1 over
+    index-striped files guarantees they do)."""
+    from otel_logger_spark.operators.rollups import conversation_metrics
+    from otel_logger_spark.streaming.pipeline import read_conversation_metrics
+
+    in_dir, _ = _write_input(tmp_path)
+    out = str(tmp_path / "out_m")
+    ckpt = str(tmp_path / "ckpt_m")
+    q = run_streaming_pipeline(
+        spark, in_dir, out, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    batch_dirs = [
+        d for d in os.listdir(os.path.join(out, "conversation_metrics"))
+        if d.startswith("batchid=")
+    ]
+    assert len(batch_dirs) >= 2, "input must span several micro-batches"
+
+    final = read_conversation_metrics(spark, out)
+    batch = spark.read.parquet(in_dir).filter(F.length("text") > 0)
+    routed = with_routing(enrich_tool(enrich_severity(with_parsed(batch))))
+    expected = conversation_metrics(routed)
+    assert final.count() == expected.count()
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+
+def test_streaming_batch_retry_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batchId redelivered after a failure
+    between sink writes) must rewrite its partitions, not double-append —
+    for all FOUR sinks including conversation_metrics."""
+    from otel_logger_spark.streaming.pipeline import write_streaming_batch
+
+    in_dir, _ = _write_input(tmp_path, n_convs=10)
+    out = str(tmp_path / "out_r")
+    batch = spark.read.parquet(in_dir).filter(F.length("text") > 0)
+    routed = with_routing(enrich_tool(enrich_severity(with_parsed(batch))))
+
+    write_streaming_batch(routed, 0, out)
+    counts1 = {
+        s: spark.read.parquet(os.path.join(out, s)).count()
+        for s in ("logs", "error", "tool_call", "conversation_metrics")
+    }
+    write_streaming_batch(routed, 0, out)  # the retry
+    counts2 = {
+        s: spark.read.parquet(os.path.join(out, s)).count()
+        for s in ("logs", "error", "tool_call", "conversation_metrics")
+    }
+    assert counts1 == counts2
+    assert counts1["logs"] > 0 and counts1["conversation_metrics"] > 0

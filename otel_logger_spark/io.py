@@ -29,7 +29,15 @@ def read_table(spark: SparkSession, path_or_table: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> None:
+    """Path -> parquet; table name -> catalog write. Catalog writes
+    dispatch on what the session actually has: the V2 ``writeTo``
+    (createOrReplace) API when an Iceberg catalog is on the classpath —
+    there it gets bucket/day partition-spec evolution and snapshot commits
+    — else the V1 ``saveAsTable``, which the plain session catalog (this
+    sandbox) supports; both branches are covered by tests/test_io.py."""
     if path_or_table.endswith(".parquet") or "/" in path_or_table:
         df.write.mode(mode).parquet(path_or_table)
-    else:
+    elif iceberg_available(df.sparkSession):
         df.writeTo(path_or_table).createOrReplace()
+    else:
+        df.write.mode(mode).saveAsTable(path_or_table)

@@ -161,51 +161,109 @@ def coalesce_entries_partitioned(
     cols = ["conv_id", order_col, "role", "text", "tool", "ts", "n_lines"]
 
     def run(batches):
+        import numpy as np
+
         # the open entry and current conversation survive Arrow batch
         # boundaries — a conversation's rows can span batches within the
-        # partition; only the partition end closes the final entry
-        cur: list[dict] | None = None
+        # partition; only the partition end closes the final entry.
+        # Per-batch work is VECTORIZED (pandas .str ops for the start/closer
+        # flags, numpy for group boundaries); Python touches each ENTRY
+        # once (field pick + join), never each line — the round-2 row-loop
+        # (to_dict("records")) paid per-line dict construction.
+        cur: dict | None = None  # open entry: start fields + texts list
         prev_conv = None
 
-        def flushed():
-            nonlocal cur
-            if not cur:
-                return None
-            first = cur[0]
-            entry = {
-                "conv_id": first["conv_id"],
-                order_col: first[order_col],
-                "role": first["role"],
-                "text": "\n".join(r["text"] for r in cur),
-                "tool": first["tool"],
-                "ts": first["ts"],
-                "n_lines": len(cur),
+        def finalize(c):
+            return {
+                "conv_id": c["conv_id"],
+                order_col: c[order_col],
+                "role": c["role"],
+                "text": "\n".join(c["texts"]),
+                "tool": c["tool"],
+                "ts": c["ts"],
+                "n_lines": len(c["texts"]),
             }
-            cur = None
-            return entry
 
         for pdf in batches:
             out = []
-            for row in pdf.to_dict("records"):
-                if row["conv_id"] != prev_conv:
-                    e = flushed()  # conversation boundary closes the entry
-                    if e:
-                        out.append(e)
-                    prev_conv = row["conv_id"]
-                line = row["text"]
-                if line is None or len(line) == 0:
-                    continue
-                if not pat.search(line) and line.strip() not in _BARE_CLOSERS:
-                    e = flushed()
-                    if e:
-                        out.append(e)
-                    cur = [row]
-                elif cur is not None:
-                    cur.append(row)
-            yield pd.DataFrame(out, columns=cols)
-        e = flushed()  # partition end == EOF ForceFlush (main.go:451-453)
-        if e:
-            yield pd.DataFrame([e], columns=cols)
+            t = pdf["text"]
+            sub = pdf.loc[t.notna() & (t.str.len() > 0)]  # main.go:425-427
+            if len(sub) == 0:
+                yield pd.DataFrame(out, columns=cols)
+                continue
+            texts = sub["text"]
+            convs = sub["conv_id"].to_numpy()
+            # isLogEntryStart (main.go:397-416), one pass per batch
+            starts = (
+                ~texts.str.contains(pat, regex=True)
+                & ~texts.str.strip().isin(_BARE_CLOSERS)
+            ).to_numpy()
+            conv_change = np.empty(len(sub), dtype=bool)
+            conv_change[0] = prev_conv is None or convs[0] != prev_conv
+            conv_change[1:] = convs[1:] != convs[:-1]
+            prev_conv = convs[-1]
+            # a new group begins at every start line AND every conversation
+            # boundary (the boundary closes the open entry; a non-start
+            # group head means orphan continuations — dropped,
+            # main.go:446-447)
+            first_idx = np.flatnonzero(starts | conv_change)
+            texts_np = texts.to_numpy()
+            if first_idx.size == 0:
+                # whole batch continues the carried entry (or is orphans)
+                if cur is not None:
+                    cur["texts"].extend(texts_np.tolist())
+                yield pd.DataFrame(out, columns=cols)
+                continue
+            if cur is not None:
+                if first_idx[0] > 0:  # leading continuations of the carry
+                    cur["texts"].extend(texts_np[: first_idx[0]].tolist())
+                out.append(finalize(cur))
+                cur = None
+            ord_np = sub[order_col].to_numpy()
+            role_np = sub["role"].to_numpy()
+            tool_np = sub["tool"].to_numpy()
+            ts_np = sub["ts"].to_numpy()
+            bounds = np.append(first_idx, len(sub))
+            last = first_idx.size - 1
+            # closed entries = start-led groups except the final one (it
+            # stays open into the next batch); orphan groups (head is a
+            # conversation boundary, not a start) are dropped wholesale
+            closed = starts[first_idx].copy()
+            closed[last] = False
+            heads = first_idx[closed]
+            ends = bounds[1:][closed]
+            if starts[bounds[last]]:
+                a, b = bounds[last], bounds[last + 1]
+                cur = {  # the one per-batch carried entry
+                    "conv_id": convs[a],
+                    order_col: ord_np[a],
+                    "role": role_np[a],
+                    "tool": tool_np[a],
+                    "ts": ts_np[a],
+                    "texts": texts_np[a:b].tolist(),
+                }
+            batch_out = pd.DataFrame(
+                {
+                    "conv_id": convs[heads],
+                    order_col: ord_np[heads],
+                    "role": role_np[heads],
+                    "text": [
+                        texts_np[a] if b - a == 1 else "\n".join(texts_np[a:b])
+                        for a, b in zip(heads, ends)
+                    ],
+                    "tool": tool_np[heads],
+                    "ts": ts_np[heads],
+                    "n_lines": (ends - heads).astype("int64"),
+                }
+            )
+            if out:  # the flushed carry precedes this batch's entries
+                batch_out = pd.concat(
+                    [pd.DataFrame(out, columns=cols), batch_out],
+                    ignore_index=True,
+                )
+            yield batch_out[cols]
+        if cur is not None:  # partition end == EOF ForceFlush (main.go:451-453)
+            yield pd.DataFrame([finalize(cur)], columns=cols)
 
     schema = (
         f"conv_id string, {order_col} int, role string, text string, "

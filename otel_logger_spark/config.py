@@ -22,6 +22,7 @@ run against this engine:
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -96,6 +97,15 @@ class PipelineConfig:
     passthrough_raw_sink: bool = False  # tee of raw entries (main.go:42-43)
     repartition: int | None = None  # explicit conv_id hash partitions
     salt_buckets: int = 16
+    # attrs storage format through the pipeline + sinks: "map" or "json"
+    # (see functions/parse.py with_parsed and BENCH/AB_attrs_format.md);
+    # env OTEL_SPARK_ATTRS_FORMAT overrides the default
+    attrs_format: str = field(
+        default_factory=lambda: (
+            os.environ.get("OTEL_SPARK_ATTRS_FORMAT", "map").strip().lower()
+            or "map"
+        )
+    )
 
     @classmethod
     def from_reference_args(cls, argv: list[str]) -> "PipelineConfig":

@@ -785,9 +785,22 @@ def with_parsed(
     msg_fields=DEFAULT_MESSAGE_FIELDS,
     keep_text: bool = False,
     hybrid: bool | None = None,
+    attrs_format: str = "map",
 ):
     """Apply the parse stage: adds event_ts, level, message, attrs, json_ok
     and ``raw`` (the untouched input text — main.go:298 parity).
+
+    ``attrs_format``: "map" (default) materializes ``attrs`` as
+    map<string,string> via from_json; "json" keeps the UDF's already-built
+    JSON string — semantically the same key-values (OTLP attributes are a
+    storage-format choice), but the string skips from_json, moves through
+    UnsafeRow copies as one flat buffer instead of a map, and parquet-
+    encodes as a plain BYTE_ARRAY column: the sink-write A/B in
+    BENCH/AB_attrs_format.md quantifies the difference. Map consumers
+    re-parse on demand (from_json is cheap on the tiny filtered slices
+    that actually inspect attrs). Under the opt-in hybrid path the JVM
+    branch's map goes through to_json — identical key-values, but key
+    ORDER may differ from the UDF's insertion-ordered rendering.
 
     ``raw`` is the input column RENAMED, not copied: carrying two identical
     string columns through persist/joins/writes doubles memory traffic,
@@ -808,6 +821,8 @@ def with_parsed(
 
     if hybrid is None:
         hybrid = _hybrid_env_enabled()
+    if attrs_format not in ("map", "json"):
+        raise ValueError(f"attrs_format must be 'map' or 'json': {attrs_format!r}")
     udf = make_parse_udf(json_prefix, ts_fields, level_fields, msg_fields)
     if hybrid and _hybrid_applicable(
         json_prefix, ts_fields, level_fields, msg_fields
@@ -835,12 +850,19 @@ def with_parsed(
     if renames:
         for src, dst in renames.items():
             parsed = parsed.withColumnRenamed(src, dst)
+        if attrs_format == "json":
+            parsed = parsed.withColumn("attrs", F.to_json(F.col("attrs")))
         return parsed
+    attrs_col = (
+        F.col("_p.attrs_json")
+        if attrs_format == "json"
+        else F.from_json(F.col("_p.attrs_json"), "map<string,string>")
+    )
     return (
         parsed.withColumn("event_ts", F.timestamp_micros(F.col("_p.event_ts_us")))
         .withColumn("level", F.col("_p.level"))
         .withColumn("message", F.col("_p.message"))
-        .withColumn("attrs", F.from_json(F.col("_p.attrs_json"), "map<string,string>"))
+        .withColumn("attrs", attrs_col)
         .withColumn("json_ok", F.col("_p.json_ok"))
         .drop("_p")
     )

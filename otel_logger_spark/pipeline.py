@@ -63,6 +63,7 @@ def build_parsed(
         ts_fields=cfg.timestamp_fields,
         level_fields=cfg.level_fields,
         msg_fields=cfg.message_fields,
+        attrs_format=cfg.attrs_format,
     )
     df = enrich_severity(df)
     df = enrich_tool(df)

@@ -97,13 +97,16 @@ class PipelineConfig:
     passthrough_raw_sink: bool = False  # tee of raw entries (main.go:42-43)
     repartition: int | None = None  # explicit conv_id hash partitions
     salt_buckets: int = 16
-    # attrs storage format through the pipeline + sinks: "map" or "json"
-    # (see functions/parse.py with_parsed and BENCH/AB_attrs_format.md);
-    # env OTEL_SPARK_ATTRS_FORMAT overrides the default
+    # attrs storage format through the pipeline + sinks: "json" (default,
+    # adopted after the 37M-turn A/B — 520k vs 382k turns/s at 8 cores,
+    # identical sink counts; BENCH/AB_attrs_format.md) or "map" (parquet
+    # MAP column). env OTEL_SPARK_ATTRS_FORMAT overrides. The parse API
+    # (with_parsed) itself still defaults to the typed map — this knob is
+    # the PIPELINE's storage choice.
     attrs_format: str = field(
         default_factory=lambda: (
-            os.environ.get("OTEL_SPARK_ATTRS_FORMAT", "map").strip().lower()
-            or "map"
+            os.environ.get("OTEL_SPARK_ATTRS_FORMAT", "json").strip().lower()
+            or "json"
         )
     )
 

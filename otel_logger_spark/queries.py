@@ -52,9 +52,14 @@ _PRED_EP_US = (
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full engine chain over the constructed transcripts (no multiline
-    — constructed turns are single-line; the coalescer has its own gate)."""
+    — constructed turns are single-line; the coalescer has its own gate).
+    attrs ride in the pipeline's adopted storage format (json string —
+    BENCH/AB_attrs_format.md) so the bench's full_pipeline measures the
+    shipped configuration; none of the _routed gate queries read attrs."""
+    from otel_logger_spark.config import PipelineConfig
+
     t = load_events_transcripts(spark, sf_dir)
-    parsed = with_parsed(t)
+    parsed = with_parsed(t, attrs_format=PipelineConfig().attrs_format)
     return with_routing(enrich_tool(enrich_severity(parsed)))
 
 

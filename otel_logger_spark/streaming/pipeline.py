@@ -64,7 +64,11 @@ def build_streaming_routed(
         )
     else:
         src = stream.filter(F.length("text") > 0)
-    parsed = with_parsed(src)
+    from otel_logger_spark.config import PipelineConfig
+
+    # same adopted attrs storage format as the batch pipeline
+    # (BENCH/AB_attrs_format.md; OTEL_SPARK_ATTRS_FORMAT overrides)
+    parsed = with_parsed(src, attrs_format=PipelineConfig().attrs_format)
     return with_routing(enrich_tool(enrich_severity(parsed)))
 
 

@@ -153,11 +153,17 @@ def test_parse_udf_matches_pure_function(spark, transcripts):
     sample = routed.select("raw", "ts", "event_ts", "level", "message", "attrs").limit(
         500
     ).collect()
+    import json as _json
+
     for r in sample:
         ets, level, msg, attrs, ok = parse_entry(r["raw"])
         assert level == r["level"]
         assert msg == r["message"]
-        assert (attrs or {}) == (r["attrs"] or {})
+        got = r["attrs"]
+        # the pipeline's adopted attrs format is the JSON string
+        # (BENCH/AB_attrs_format.md) — decode before comparing
+        got = _json.loads(got) if isinstance(got, str) else dict(got or {})
+        assert (attrs or {}) == got
         if ets is None:
             assert r["event_ts"] == r["ts"]
         else:
@@ -365,6 +371,7 @@ def test_attrs_format_json_equals_map(spark, transcripts, tmp_path, monkeypatch)
     )
     out_map = str(tmp_path / "out_map")
     out_json = str(tmp_path / "out_json")
+    monkeypatch.setenv("OTEL_SPARK_ATTRS_FORMAT", "map")
     m1 = run_pipeline(spark, src, out_map, run_id="am")
     monkeypatch.setenv("OTEL_SPARK_ATTRS_FORMAT", "json")
     m2 = run_pipeline(spark, src, out_json, run_id="aj")

@@ -116,7 +116,12 @@ def test_custom_field_mapping_pipeline(spark, tmp_path):
     assert out[0]["message"] == "custom"
     # default keys are NOT consulted under custom mappings (main.go:621-630)
     assert out[1]["level"] == "info" and out[1]["message"] == "Log entry"
-    assert out[1]["attrs"] == {"level": "error", "message": "ignored mapping"}
+    import json as _json
+
+    # pipeline default attrs format is the JSON string (AB_attrs_format.md)
+    assert _json.loads(out[1]["attrs"]) == {
+        "level": "error", "message": "ignored mapping",
+    }
 
 
 def test_salted_metrics_equals_unsalted(spark, tmp_path):

@@ -69,22 +69,96 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(load_corpus(spark, sf_dir), n=3, threshold=0.5)
 
 
-O_NGRAM_JACCARD = (
-    corpus_cte()
-    + """
+# shared CTE chain: corpus -> word 3-gram shingles -> common-shingle counts
+_NGRAM_CHAIN = """
  , w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
  sh AS (SELECT DISTINCT doc_id, array_to_string(words[i : i+2], ' ') AS shingle
         FROM w, UNNEST(generate_series(1, greatest(len(words)-2, 0))) AS u(i)),
  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
  common AS (
    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"""
+
+O_NGRAM_JACCARD = (
+    corpus_cte()
+    + _NGRAM_CHAIN
+    + """
  SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
    CAST(FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS j_milli
  FROM common
  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
  WHERE FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= 500"""
 )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup FAMILIES: connected components over the exact n-gram
+    Jaccard pairs (transitive closure — A~B, B~C => one family of three,
+    which no pairwise output expresses). Spark side: iterative min-label
+    propagation (functions/graph.py); oracle side: a DuckDB RECURSIVE CTE
+    computing min reachable doc_id — two utterly different fixpoint
+    computations that must agree row-for-row."""
+    from otel_logger_spark.functions.graph import dedup_clusters
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    return dedup_clusters(
+        corpus.select("doc_id"), pairs.select("doc_a", "doc_b")
+    )
+
+
+O_DEDUP_CLUSTERS = (
+    corpus_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _NGRAM_CHAIN
+    + """
+ , pairs AS (
+   SELECT doc_a, doc_b FROM common
+   JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+   WHERE FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= 500),
+ edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+ reach(node, label) AS (
+   SELECT doc_id, doc_id FROM corpus
+   UNION
+   SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u),
+ lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1)
+ SELECT doc_id, cluster_id,
+   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+ FROM lab"""
+)
+
+
+def q_training_mix(spark, sf_dir):
+    """Deterministic stratified training-mix sample (functions/sampling.py):
+    per-source Bernoulli keep via the engine-portable Knuth multiplicative
+    hash — NO rand(), so retried tasks / resumed runs / the DuckDB oracle
+    all select the exact same rows."""
+    from otel_logger_spark.functions.sampling import stratified_sample
+
+    docs = _load_documents(spark, sf_dir)
+    kept = stratified_sample(
+        docs,
+        rates={"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_rate=0.1,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+O_TRAINING_MIX = """
+WITH keyed AS (
+  SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS k,
+    CASE source WHEN 'src0' THEN CAST(0.9 * 4294967296 AS BIGINT)
+                WHEN 'src1' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                WHEN 'src2' THEN CAST(0.25 * 4294967296 AS BIGINT)
+                WHEN 'src3' THEN 0
+                ELSE CAST(0.1 * 4294967296 AS BIGINT) END AS thr
+  FROM documents)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM keyed WHERE k < thr GROUP BY 1
+"""
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -332,6 +406,8 @@ QUERIES_C = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_drop_exact": q_dedup_drop_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "training_mix": q_training_mix,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
@@ -348,6 +424,8 @@ ORACLES_C = {
     "dedup_exact_stats": O_DEDUP_EXACT_STATS,
     "dedup_drop_exact": O_DEDUP_DROP_EXACT,
     "ngram_jaccard": O_NGRAM_JACCARD,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
+    "training_mix": O_TRAINING_MIX,
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "lang_id": O_LANG_ID,

@@ -316,3 +316,61 @@ def test_near_dup_lsh_equals_brute(spark):
             ).collect()
         }
         assert brute == lsh and brute
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, singleton — label propagation must find min-id
+    components and include every node."""
+    import pytest
+
+    from otel_logger_spark.functions.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # chain 0-1-2-3, triangle 4-5-6 (+ redundant edge), 7/8/9 singletons
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 9}
+    fam = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(nodes, edges).collect()
+    }
+    assert fam[3] == (0, 4) and fam[6] == (4, 3) and fam[9] == (9, 1)
+    # transitivity: A~B, B~C with no A~C edge is still ONE family
+    assert fam[0][0] == fam[2][0]
+    # non-convergence within max_iter must raise, not return partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=1)
+
+
+def test_stratified_sample_deterministic(spark):
+    from otel_logger_spark.functions.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(2000)], "doc_id long, source string"
+    )
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = stratified_sample(docs, rates, default_rate=0.25)
+    b = stratified_sample(docs, rates, default_rate=0.25)
+    rows_a = sorted((r["doc_id"], r["source"]) for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["source"]) for r in b.collect())
+    assert rows_a == rows_b  # bit-identical across runs (no rand())
+    per = {s: 0 for s in ("src0", "src1", "src2", "src3")}
+    for _, s in rows_a:
+        per[s] += 1
+    assert per["src0"] == 500       # rate 1.0 keeps every row
+    assert per["src2"] == 0         # rate 0.0 drops every row
+    assert 150 < per["src1"] < 350  # ~0.5 of 500
+    assert 50 < per["src3"] < 200   # default 0.25 of 500
+    # subset property: kept src1 rows at 0.5 are a superset of those at 0.25
+    half = {r["doc_id"] for r in stratified_sample(docs, {"src1": 0.5}).collect()}
+    quarter = {r["doc_id"] for r in stratified_sample(docs, {"src1": 0.25}).collect()}
+    assert quarter <= half

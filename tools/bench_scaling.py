@@ -89,12 +89,12 @@ def main():
         "this single box (32 physical cores, ONE socket) saturates memory "
         "bandwidth once a handful of cores are active, which a real "
         "4N-executor cluster — 4x sockets, 4x memory channels, 4x disks — "
-        "does not. The linear region SHRANK as the engine got faster: "
-        "round 1 (parse-bound, 96k turns/s at 2 cores) was linear through "
-        "8 cores; after the round-2 parse optimizations (154k turns/s at "
-        "2 cores) the 8-core wall already equals the 32-core wall (~83s "
-        "for 37M turns), so the in-region pair is 1 vs 4. Higher levels "
-        "are reported as ceiling measurements, not cluster-scaling claims.",
+        "does not. The linear region moves with memory traffic per row "
+        "(round 1 linear through 8 cores; round 2 hit the socket ceiling "
+        "by ~8; round 3's attrs-as-string cut traffic so 32 pulls ahead "
+        "of 8 again) — 1 vs 4 stays the pair fully inside the linear "
+        "region every round. Higher levels are reported as ceiling "
+        "measurements, not cluster-scaling claims.",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--repeat", type=int, default=3, help="runs per level, best-of (page-cache/JIT steady state); spread published per level")
@@ -198,13 +198,16 @@ Why N={n} vs 4N={n4} is the headline pair: the sandbox is one socket with 32
 physical cores and ONE memory subsystem; a real 4N-executor cluster
 multiplies sockets, memory channels, and disks with executor count, so
 single-box high-core pairs understate cluster scaling. The box's linear
-region SHRANK as the engine got faster: round 1 (parse-bound at ~96k
-turns/s on 2 cores) scaled 0.94 from 2->8; after the round-2 parse
-optimizations (+60% absolute) the 8-core wall already equals the 32-core
-wall — the job is memory-bandwidth-bound beyond a few cores, so the
-in-region pair is the smallest one. The higher levels in the table are
-ceiling measurements (how hard one socket can be pushed), not
-cluster-scaling claims; absolute throughput still rises with cores.
+region moves with the engine's memory traffic per row: round 1
+(parse-bound, ~96k turns/s at 2 cores) scaled 0.94 from 2->8; round 2's
+parse optimizations made the 8-core wall equal the 32-core wall (the job
+hit the socket's memory-bandwidth ceiling by ~8 cores); round 3's
+attrs-as-string change CUT bytes moved per row, so 32 cores pull ahead of
+8 again and the ceiling-pair efficiency rose (0.223 -> 0.271 at 8v32).
+N=1 vs 4 remains the headline pair because it is the one fully inside the
+linear region at every round. The higher levels in the table are ceiling
+measurements (how hard one socket can be pushed), not cluster-scaling
+claims; absolute throughput still rises with cores.
 
 Reproduce: `python tools/bench_scaling.py --convs {args.convs} --n {n}`
 """

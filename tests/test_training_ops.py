@@ -374,3 +374,53 @@ def test_stratified_sample_deterministic(spark):
     half = {r["doc_id"] for r in stratified_sample(docs, {"src1": 0.5}).collect()}
     quarter = {r["doc_id"] for r in stratified_sample(docs, {"src1": 0.25}).collect()}
     assert quarter <= half
+
+
+def test_signature_array_forms_match_explode_groupby(spark, docs):
+    """The round-3 shuffle-free signature formulations (array_min/aggregate
+    projections) must be BIT-IDENTICAL to the explode+groupBy originals —
+    the LSH banding downstream hashes the signature values, so any
+    divergence silently changes candidate sets."""
+    from otel_logger_spark.functions.dedup import (
+        exploded_shingles,
+        minhash_signatures,
+        simhash_signatures,
+        with_words,
+    )
+
+    corpus = docs.select("doc_id", "text")
+    # reference: the round-2 explode+groupBy minhash
+    sh = exploded_shingles(corpus, 3)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(32)
+    ]
+    ref_mh = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(32)]
+        for r in sh.groupBy("doc_id").agg(*aggs).collect()
+    }
+    got_mh = {
+        r["doc_id"]: list(r["sig"]) for r in minhash_signatures(corpus).collect()
+    }
+    assert got_mh == ref_mh and got_mh
+    # reference: the round-2 explode+groupBy simhash
+    tok = with_words(corpus).select("doc_id", F.explode("words").alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    ref_rows = tok.groupBy("doc_id").agg(*bit_sums).collect()
+    ref_sh = {}
+    for r in ref_rows:
+        v = 0
+        for i in range(64):
+            if r[f"b{i}"] > 0:
+                v |= 1 << i
+        ref_sh[r["doc_id"]] = v - (1 << 64) if v >= 1 << 63 else v
+    got_sh = {
+        r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()
+    }
+    assert got_sh == ref_sh and got_sh

@@ -1,0 +1,158 @@
+"""Plan audit: capture `.explain("formatted")` evidence for the headline
+queries and condense it into BENCH/PLANS.md — scan schemas (column
+pruning), pushed filters, exchange (shuffle) counts, whole-stage-codegen
+spans, and join strategies. The artifact is the would-this-plan-survive-
+100x evidence the scale review asks for, regenerated whenever plans
+change.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def condense(plan: str) -> dict:
+    scans = []
+    for m in re.finditer(r"\(\d+\) Scan parquet ?(\S*)\n((?:.+\n)+?)\n", plan):
+        block = m.group(2)
+        entry = {"table": m.group(1) or "(path)"}
+        for key in ("ReadSchema", "PushedFilters", "Location"):
+            km = re.search(rf"{key}: (.+)", block)
+            if km:
+                v = km.group(1)
+                if key == "Location":
+                    v = v.split("/")[-1].rstrip("]")
+                entry[key] = v[:160]
+        scans.append(entry)
+    joins = re.findall(
+        r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)", plan)
+    return {
+        "scans": scans,
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        # NB: codegen-span ids are not rendered in AQE's pre-execution
+        # formatted plan, so they are deliberately NOT reported here —
+        # "0 spans" would be misleading; python_stages counts the
+        # operators that are genuinely outside codegen by construction
+        "joins": joins,
+        "python_stages": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
+    }
+
+
+COMMENT = {
+    "parse_severity_counts": (
+        "parse-UDF stage feeds one partial+final hash aggregate; the UDF "
+        "exchanges only int64/strings over Arrow (round-2 design); one "
+        "shuffle for the tiny (level, severity) key space."),
+    "full_pipeline_routed": (
+        "the routed frame before sink fan-out: multiline coalescer window "
+        "+ parse + enrichment in ONE conv_id exchange; enrichment is "
+        "literal-map expressions inside codegen (no broadcast of wide "
+        "rows); attrs ride as the adopted JSON string."),
+    "top_revenue_orders": (
+        "at gate scale AQE broadcasts the filtered customer and orders "
+        "sides; at TPC-H scale the orders-lineitem join becomes a "
+        "SortMergeJoin on the shuffled key with the same plan shape. "
+        "The top-k is a sort-limit (TakeOrderedAndProject) either way, "
+        "never a full sort."),
+    "region_rollup": (
+        "dimension chain (region/nation/customer) broadcasts onto the "
+        "fact scan — no fact-side shuffle before the rollup aggregate."),
+    "dedup_minhash": (
+        "round 3: signatures are a pure projection (no explode shuffle) — "
+        "exchanges are only the banded candidate join keys and the "
+        "array_intersect verify joins; shingle strings never shuffle. "
+        "The repeated documents scans are the deliberate recompute-over-"
+        "cache choice: column-pruned pushed-down scans per branch beat "
+        "materializing exploded intermediates at corpus scale."),
+    "embedding_topk": (
+        "corpus side never shuffles: the query side broadcasts, cosine is "
+        "zip_with/aggregate inside codegen, and rank<=k is a per-key "
+        "bounded window."),
+    "flush_window_counts": (
+        "event-time tumbling windows: one exchange on the window key "
+        "after the parse stage's partial aggregate."),
+    "training_mix": (
+        "pure codegen filter (multiplicative-hash threshold) over the "
+        "scan + one aggregate exchange; the sampling predicate needs no "
+        "shuffle and no UDF."),
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from otel_logger_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from otel_logger_spark import queries as Q
+    from otel_logger_spark import queries_training as QT
+    from otel_logger_spark.pipeline import build_parsed
+
+    dfs = {
+        "parse_severity_counts": Q.q_parse_severity_counts(spark, sf_dir),
+        "full_pipeline_routed": build_parsed(
+            spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+                "cast(event_id as string) conv_id",
+                "cast(event_id % 100 as int) turn_idx",
+                "'user' role", "event_type text",
+                "cast(null as string) tool", "ts",
+            )
+        ),
+        "top_revenue_orders": Q.q_top_revenue_orders(spark, sf_dir),
+        "region_rollup": Q.q_region_rollup(spark, sf_dir),
+        "dedup_minhash": QT.q_minhash_pairs(spark, sf_dir),
+        "embedding_topk": QT.q_embedding_topk(spark, sf_dir),
+        "flush_window_counts": Q.q_flush_window_counts(spark, sf_dir),
+        "training_mix": QT.q_training_mix(spark, sf_dir),
+    }
+
+    out = [
+        "# BENCH/PLANS — physical-plan audit of the headline queries\n",
+        "Generated by `python tools/plan_audit.py` (re-run after plan",
+        "changes). For each query: parquet scans with their read schemas",
+        "(column pruning) and pushed filters, the number of Exchange",
+        "(shuffle) operators, join strategies, and Python (Arrow) stages",
+        "(the operators genuinely outside whole-stage codegen; everything",
+        "else in these plans is codegen-eligible JVM expression work).",
+        "Commentary states why the plan holds at 100x scale.\n",
+    ]
+    for name, df in dfs.items():
+        c = condense(formatted_plan(df))
+        out.append(f"## {name}\n")
+        out.append(
+            f"- exchanges: {c['exchanges']}; joins: "
+            f"{', '.join(c['joins']) if c['joins'] else 'none'}; "
+            f"python (Arrow) stages: {c['python_stages']}"
+        )
+        for s in c["scans"]:
+            line = f"- scan `{s.get('Location', s['table'])}`: {s.get('ReadSchema', '?')}"
+            pf = s.get("PushedFilters")
+            if pf and pf != "[]":
+                line += f"; pushed: {pf}"
+            out.append(line)
+        out.append(f"- audit: {COMMENT.get(name, '')}\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote BENCH/PLANS.md ({len(dfs)} queries)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

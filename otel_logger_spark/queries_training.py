@@ -162,16 +162,30 @@ FROM keyed WHERE k < thr GROUP BY 1
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """LSH-accelerated near-dup (rows-only gate; pytest cross-checks recall
-    against the exact n-gram Jaccard). The gate passes the hot-bucket cap
-    EXPLICITLY — the 100 TB shape; the cap is opt-in on the public function
-    and no gate-corpus bucket approaches it, so results equal the
-    exhaustive plan (tests/test_training_ops.py asserts the cap fires on a
-    degenerate corpus and is fully accounted by minhash_cap_report /
-    simhash_cap_report — no silent caps)."""
+    """LSH-accelerated near-dup, now ORACLE-CHECKED against the exact
+    n-gram Jaccard enumeration (the embedding_near_dup pattern): the
+    verify step computes EXACT Jaccard on candidates, and the seed-fixed
+    banding recovers every >=0.5 pair on the gate corpora — deterministic,
+    asserted at sf0.001/0.01/0.1 by
+    tests/test_training_ops.py::test_minhash_equals_exact_on_gate_corpora.
+    The gate passes the hot-bucket cap EXPLICITLY — the 100 TB shape; the
+    cap is opt-in on the public function and no gate-corpus bucket
+    approaches it (cap accounting: minhash_cap_report)."""
     return minhash_dedup_pairs(
         load_corpus(spark, sf_dir), threshold=0.5, max_bucket=10_000
     )
+
+
+O_MINHASH_PAIRS = (
+    corpus_cte()
+    + _NGRAM_CHAIN
+    + """
+ SELECT doc_a, doc_b,
+   CAST(FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS j_milli
+ FROM common
+ JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+ WHERE FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= 500"""
+)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -426,6 +440,7 @@ ORACLES_C = {
     "ngram_jaccard": O_NGRAM_JACCARD,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "training_mix": O_TRAINING_MIX,
+    "minhash_pairs": O_MINHASH_PAIRS,
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "lang_id": O_LANG_ID,

@@ -424,3 +424,28 @@ def test_signature_array_forms_match_explode_groupby(spark, docs):
         r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()
     }
     assert got_sh == ref_sh and got_sh
+
+
+def test_minhash_equals_exact_on_gate_corpora(spark):
+    """The minhash_pairs oracle (exact n-gram Jaccard enumeration) is only
+    valid because the seed-fixed LSH banding recovers EVERY >=0.5 pair on
+    the gate corpora — a deterministic fact of corpus + hash family, not a
+    flaky sample. Pin it at all three scale factors (the near_dup pattern
+    the embedding gate already uses)."""
+    from otel_logger_spark.graftdata import load_corpus
+
+    for sf in ("0.001", "0.01", "0.1"):
+        corpus = load_corpus(spark, f"/root/testdata/sf{sf}")
+        exact = {
+            (r["doc_a"], r["doc_b"], r["j_milli"])
+            for r in ngram_jaccard_pairs(corpus, threshold=0.5)
+            .select("doc_a", "doc_b", "j_milli")
+            .collect()
+        }
+        mh = {
+            (r["doc_a"], r["doc_b"], r["j_milli"])
+            for r in minhash_dedup_pairs(
+                corpus, threshold=0.5, max_bucket=10_000
+            ).collect()
+        }
+        assert mh == exact and exact, f"sf{sf}: {len(exact)} vs {len(mh)}"

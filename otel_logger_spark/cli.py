@@ -7,7 +7,8 @@ engine.
 Reference flags honored (main.go:34-47): --json-prefix,
 --timestamp-fields/--level-fields/--message-fields (repeatable or
 comma-separated), --continuation-pattern, --batch-size, --flush-interval,
---passthrough-stdout/--passthrough-stderr.
+--timeout (per-sink export deadline, A3), --passthrough-stdout/
+--passthrough-stderr.
 """
 
 from __future__ import annotations
@@ -59,6 +60,7 @@ def main(argv=None):
         args.out,
         run_id=args.run_id,
         passthrough_raw=cfg.passthrough_raw_sink,
+        export_timeout_ms=cfg.export_timeout_ms,
     )
     print(json.dumps({k: v["n_rows"] for k, v in manifest["sinks"].items()}))
     spark.stop()

@@ -51,6 +51,13 @@ _UNIT_MS = {
 }
 
 
+def go_duration_to_ms(s: str) -> int:
+    """Go duration -> whole milliseconds (sub-ms positives floor to 1;
+    parse rules identical to go_duration_to_interval)."""
+    interval = go_duration_to_interval(s)
+    return int(interval.split()[0])
+
+
 def go_duration_to_interval(s: str) -> str:
     """Convert a Go duration string ("500ms", "2m30s", "1.5h") to a Spark
     interval string, matching the reference's time.Duration flag parsing
@@ -94,6 +101,11 @@ class PipelineConfig:
     batch_size: int = 10_000  # arrow batch (reference default 50 is an
     # export batch; Arrow batches are the engine's unit of bounded memory)
     flush_interval: str = "5 seconds"  # streaming trigger (main.go:38)
+    # --timeout (main.go:35 -> WithExportTimeout, main.go:357): per-sink
+    # export deadline. None = no deadline — the reference's 10s default
+    # suits OTLP RPC exports; a distributed parquet write's natural scale
+    # is minutes, so the engine applies a timeout only when configured.
+    export_timeout_ms: int | None = None
     passthrough_raw_sink: bool = False  # tee of raw entries (main.go:42-43)
     repartition: int | None = None  # explicit conv_id hash partitions
     salt_buckets: int = 16
@@ -140,6 +152,9 @@ class PipelineConfig:
                 i += 2
             elif a == "--flush-interval":
                 cfg.flush_interval = go_duration_to_interval(argv[i + 1])
+                i += 2
+            elif a == "--timeout":
+                cfg.export_timeout_ms = go_duration_to_ms(argv[i + 1])
                 i += 2
             elif a == "--passthrough-stdout" or a == "--passthrough-stderr":
                 cfg.passthrough_raw_sink = True

@@ -116,6 +116,31 @@ def _commit(spark, manifest, out_dir, sink, path, n_rows, t0, partitions):
 SUPPORTED_FORMATS = ("parquet", "json")
 
 
+def _run_with_timeout(spark, group: str, timeout_ms: int | None, fn):
+    """Per-sink export deadline — the --timeout / WithExportTimeout
+    analogue (/root/reference/main.go:35,357). The write runs under its
+    own job group; a watchdog cancels the group at the deadline, failing
+    THIS sink only. The manifest never marks a cancelled sink committed,
+    so a resume retries exactly the timed-out export — the same
+    at-least-once retry shape as the reference's batching exporter.
+    Job groups are thread-local, which is exactly right here: every sink
+    write already runs in its own thread (or the main thread for logs)."""
+    import threading
+
+    if timeout_ms is None:
+        return fn()
+    sc = spark.sparkContext
+    sc.setJobGroup(group, f"sink export (timeout {timeout_ms} ms)", True)
+    watchdog = threading.Timer(timeout_ms / 1000.0, sc.cancelJobGroup, (group,))
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        return fn()
+    finally:
+        watchdog.cancel()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def _env_sink(base: str, sink: str | None) -> str | None:
     """Generic -> sink-specific override chain, mirroring the reference's
     OTEL_EXPORTER_OTLP_PROTOCOL / OTEL_EXPORTER_OTLP_LOGS_PROTOCOL
@@ -235,6 +260,7 @@ def write_routed_sinks(
     passthrough_raw: bool = False,
     sink_format: str | None = None,
     partition_logs_by_date: bool = False,
+    export_timeout_ms: int | None = None,
 ) -> dict:
     """Fan out the routed frame to the four sinks. ``routed`` must carry
     is_error / is_tool_call (see route.with_routing) and the parsed columns.
@@ -268,15 +294,25 @@ def write_routed_sinks(
             t0 = time.monotonic()
             opts = resolve_sink_options(SINK_LOGS)
             if partition_logs_by_date:
-                n, parts = _write_one(
-                    base.withColumn("event_date", F.to_date("event_ts")),
-                    logs_path,
-                    fmt,
-                    partition_by=["event_date"],
-                    options=opts,
+                n, parts = _run_with_timeout(
+                    spark,
+                    f"{run_id}:{SINK_LOGS}",
+                    export_timeout_ms,
+                    lambda: _write_one(
+                        base.withColumn("event_date", F.to_date("event_ts")),
+                        logs_path,
+                        fmt,
+                        partition_by=["event_date"],
+                        options=opts,
+                    ),
                 )
             else:
-                n, parts = _write_one(base, logs_path, fmt, options=opts)
+                n, parts = _run_with_timeout(
+                    spark,
+                    f"{run_id}:{SINK_LOGS}",
+                    export_timeout_ms,
+                    lambda: _write_one(base, logs_path, fmt, options=opts),
+                )
             _commit(spark, manifest, out_dir, SINK_LOGS, logs_path, n, t0, parts)
 
         # derive the remaining sinks from the staged table (or the persisted
@@ -323,8 +359,13 @@ def write_routed_sinks(
                 t0 = time.monotonic()
                 path = resolve_sink_path(out_dir, sink)
                 sink_fmt = resolve_sink_format(sink_format, sink)
-                n, parts = _write_one(
-                    df, path, sink_fmt, options=resolve_sink_options(sink)
+                n, parts = _run_with_timeout(
+                    spark,
+                    f"{run_id}:{sink}",
+                    export_timeout_ms,
+                    lambda: _write_one(
+                        df, path, sink_fmt, options=resolve_sink_options(sink)
+                    ),
                 )
                 with lock:
                     _commit(spark, manifest, out_dir, sink, path, n, t0, parts)

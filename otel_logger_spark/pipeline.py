@@ -40,7 +40,8 @@ def build_parsed(
     """The transformation plan up to the routed frame (no actions).
 
     ``config`` (config.PipelineConfig) carries the reference CLI surface
-    (field mappings, prefix/continuation regexes); explicit kwargs win."""
+    (field mappings, prefix/continuation regexes) and takes precedence
+    when given; the convenience kwargs apply only with config=None."""
     from otel_logger_spark.config import PipelineConfig
 
     cfg = config or PipelineConfig(
@@ -77,17 +78,30 @@ def run_pipeline(
     run_id: str = "run-0",
     coalesce_multiline: bool = True,
     repartition: int | None = None,
+    config=None,
 ) -> dict:
     """Execute the full pipeline and commit all sinks; returns the lineage
-    manifest (per-sink row counts — the correctness gate's numbers)."""
+    manifest (per-sink row counts — the correctness gate's numbers).
+    ``config`` (config.PipelineConfig) carries the reference CLI surface,
+    including --timeout -> per-sink export deadline (A3)."""
     from otel_logger_spark.io import read_table
 
     transcripts = read_table(spark, input_path)
     routed = build_parsed(
-        transcripts, coalesce_multiline=coalesce_multiline, repartition=repartition
+        transcripts,
+        coalesce_multiline=coalesce_multiline,
+        repartition=repartition,
+        config=config,
     )
     metrics = conversation_metrics(routed)
-    return write_routed_sinks(routed, metrics, out_dir, run_id=run_id)
+    return write_routed_sinks(
+        routed,
+        metrics,
+        out_dir,
+        run_id=run_id,
+        passthrough_raw=bool(config and config.passthrough_raw_sink),
+        export_timeout_ms=config.export_timeout_ms if config else None,
+    )
 
 
 def logs_with_summaries(routed: DataFrame) -> DataFrame:

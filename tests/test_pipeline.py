@@ -394,3 +394,51 @@ def test_attrs_format_json_equals_map(spark, transcripts, tmp_path, monkeypatch)
     joined = a.join(b, ["conv_id", "turn_idx"])
     assert joined.count() == a.count()
     assert joined.filter(a["a"] != b["a"]).count() == 0
+
+
+def test_export_timeout_cancels_sink_and_resumes(spark, tmp_path):
+    """--timeout parity (A3, main.go:35 -> WithExportTimeout main.go:357):
+    a sink export exceeding the deadline is CANCELLED — the run fails, the
+    manifest never marks that sink committed, and a later run without the
+    deadline resumes and commits it (the reference's at-least-once retry
+    shape)."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from otel_logger_spark.operators.sinks import write_routed_sinks
+
+    @pandas_udf("string")
+    def slow_ident(s: pd.Series) -> pd.Series:
+        _time.sleep(8)
+        return s
+
+    src = str(tmp_path / "in_to.parquet")
+    transcripts_df = spark.createDataFrame(
+        [("c", i, "user", f'{{"message":"m{i}"}}', None) for i in range(50)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    transcripts_df.write.mode("overwrite").parquet(src)
+
+    routed = build_parsed(spark.read.parquet(src)).withColumn(
+        "message", slow_ident(F.col("message"))  # force a slow export plan
+    )
+    out = str(tmp_path / "out_to")
+    t0 = _time.monotonic()
+    with pytest.raises(Exception):
+        write_routed_sinks(
+            routed, None, out, run_id="to1", export_timeout_ms=1500
+        )
+    took = _time.monotonic() - t0
+    assert took < 60, f"timeout did not interrupt the write ({took:.0f}s)"
+    from otel_logger_spark.operators.sinks import load_manifest
+
+    m = load_manifest(spark, out, "to1")
+    assert m["sinks"].get("logs", {}).get("status") != "committed"
+    # resume WITHOUT the deadline: commits everything, zero rows dropped
+    m2 = write_routed_sinks(
+        build_parsed(spark.read.parquet(src)), None, out, run_id="to1"
+    )
+    assert m2["status"] == "committed"
+    assert m2["sinks"]["logs"]["n_rows"] == 50

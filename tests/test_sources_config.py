@@ -158,3 +158,13 @@ def test_cli_version():
     )
     assert res.returncode == 0
     assert res.stdout.startswith("otel-logger-spark ")
+
+
+def test_timeout_flag_mapping():
+    from otel_logger_spark.config import PipelineConfig, go_duration_to_ms
+
+    cfg = PipelineConfig.from_reference_args(["--timeout", "10s"])
+    assert cfg.export_timeout_ms == 10_000
+    assert PipelineConfig().export_timeout_ms is None  # no default deadline
+    assert go_duration_to_ms("1.5s") == 1500
+    assert go_duration_to_ms("100us") == 1  # sub-ms floors to 1, never 0

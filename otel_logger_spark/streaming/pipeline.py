@@ -37,6 +37,36 @@ from otel_logger_spark.operators.route import with_routing
 from otel_logger_spark.schemas import TRANSCRIPT_SCHEMA
 
 
+def install_graceful_shutdown(query, signals=None):
+    """K5 analogue — signal forwarding (/root/reference/main.go:544-559):
+    the reference relays SIGINT/SIGTERM to the wrapped process so it can
+    exit cleanly while the logger force-flushes (main.go:652-655). The
+    streaming analogue: on SIGINT/SIGTERM, ``query.stop()`` — Structured
+    Streaming completes the IN-FLIGHT micro-batch first (foreachBatch
+    finishes all four sink writes and the checkpoint commit), so a
+    signalled run drains rather than drops; the batchId-idempotent sink
+    layout makes any batch that was mid-write safe to retry on restart.
+
+    Returns {signum: previous_handler} so callers (tests, embedding apps)
+    can restore. Installable only from the main thread (Python signal
+    rule); the CLI/driver path is."""
+    import signal as _signal
+    import threading as _threading
+
+    if signals is None:
+        signals = (_signal.SIGINT, _signal.SIGTERM)
+
+    def _handler(signum, frame):
+        # stop() from a SEPARATE thread: the handler runs on the main
+        # thread, which is blocked inside awaitTermination's py4j call —
+        # a re-entrant gateway call from the handler would corrupt that
+        # connection ("Received empty command"); a fresh thread gets its
+        # own py4j connection and awaitTermination returns once stopped
+        _threading.Thread(target=query.stop, daemon=True).start()
+
+    return {s: _signal.signal(s, _handler) for s in signals}
+
+
 def read_transcript_stream(
     spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -135,3 +135,65 @@ def test_streaming_batch_retry_idempotent(spark, tmp_path):
     }
     assert counts1 == counts2
     assert counts1["logs"] > 0 and counts1["conversation_metrics"] > 0
+
+
+def test_sigterm_graceful_drain(tmp_path):
+    """K5 parity (signal forwarding, main.go:544-559): SIGTERM to a running
+    continuous-trigger streaming pipeline must drain the in-flight
+    micro-batch and exit cleanly — every input row present in the logs
+    sink, clean interpreter exit."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    in_dir, pdf = _write_input(tmp_path, n_convs=8)
+    n_nonempty = int((pdf["text"].str.len() > 0).sum())
+    out = str(tmp_path / "out_sig")
+    ckpt = str(tmp_path / "ckpt_sig")
+    script = tmp_path / "runner.py"
+    script.write_text(
+        f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from otel_logger_spark.session import get_spark
+from otel_logger_spark.streaming.pipeline import (
+    install_graceful_shutdown, run_streaming_pipeline)
+spark = get_spark("sig-drain", cores=2, shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+q = run_streaming_pipeline(
+    spark, {in_dir!r}, {out!r}, {ckpt!r},
+    available_now=False, processing_time="1 seconds")
+install_graceful_shutdown(q)
+print("READY", flush=True)
+q.awaitTermination()
+print("STOPPED_CLEAN", flush=True)
+spark.stop()
+"""
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(script)], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd="/root/repo",
+        env=dict(os.environ, PYTHONPATH="/root/repo"),
+    )
+    try:
+        # wait for the sink to contain every input row, then signal
+        deadline = _time.monotonic() + 240
+        import glob
+
+        def logs_rows():
+            import pyarrow.parquet as pq
+
+            files = glob.glob(os.path.join(out, "logs", "batchid=*", "*.parquet"))
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+        while _time.monotonic() < deadline and logs_rows() < n_nonempty:
+            _time.sleep(1)
+        assert logs_rows() >= n_nonempty, "stream never drained the input"
+        proc.send_signal(signal.SIGTERM)
+        stdout, stderr = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, stderr[-2000:]
+    assert "READY" in stdout and "STOPPED_CLEAN" in stdout

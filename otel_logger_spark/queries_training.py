@@ -189,11 +189,22 @@ O_MINHASH_PAIRS = (
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup (rows-only gate; pytest golden-checks hamming).
+    """SimHash near-dup, now ORACLE-CHECKED: DuckDB has no xxhash64, so the
+    oracle GENERATES one — a bit-exact XXH64 re-implementation in pure SQL
+    (UHUGEINT modular arithmetic + per-lane list_reduce folds,
+    oracles_xxh64.py), then TF-weighted bit sums, the 64-bit signature,
+    and an all-pairs hamming filter (equivalent to the chunk-banded plan:
+    pigeonhole candidates are lossless at max_hamming<=3).
     Explicit hot-bucket cap: see q_minhash_pairs."""
     return simhash_near_pairs(
         load_corpus(spark, sf_dir), max_hamming=3, max_bucket=10_000
     )
+
+
+def _o_simhash_pairs() -> str:
+    from otel_logger_spark.oracles_xxh64 import simhash_pairs_oracle
+
+    return simhash_pairs_oracle(corpus_cte(), max_hamming=3)
 
 
 # --- similarity ----------------------------------------------------------------
@@ -441,6 +452,7 @@ ORACLES_C = {
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "training_mix": O_TRAINING_MIX,
     "minhash_pairs": O_MINHASH_PAIRS,
+    "simhash_pairs": _o_simhash_pairs(),
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "lang_id": O_LANG_ID,

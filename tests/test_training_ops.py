@@ -449,3 +449,68 @@ def test_minhash_equals_exact_on_gate_corpora(spark):
             ).collect()
         }
         assert mh == exact and exact, f"sf{sf}: {len(exact)} vs {len(mh)}"
+
+
+def test_duckdb_xxh64_matches_spark(spark):
+    """The generated DuckDB XXH64 (oracles_xxh64.py) must agree with
+    Spark's xxhash64 BIT-FOR-BIT on adversarial inputs: empty string,
+    multi-byte UTF-8, and every length branch of the spec (sub-4, sub-8,
+    8..31, >=32 with stripe tails)."""
+    import random
+
+    import duckdb
+
+    from otel_logger_spark.oracles_xxh64 import xxh64_ctes
+
+    random.seed(7)
+    toks = [
+        "", "a", "abc", "hello,", "é", "ünïcødé", "x" * 7, "y" * 8,
+        "z" * 12, "q" * 31, "w" * 32, "v" * 33, "m" * 40, "longtoken" * 9,
+    ]
+    toks += [
+        "".join(random.choice("abcdefgéhij ") for _ in range(random.randint(0, 70)))
+        for _ in range(60)
+    ]
+    toks = list(dict.fromkeys(toks))
+    want = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in toks], "s string")
+        .selectExpr("s", "xxhash64(s) AS h")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE vocab AS SELECT unnest(?::VARCHAR[]) AS tok", params=[toks])
+    sql = (
+        "WITH "
+        + xxh64_ctes().lstrip().lstrip(",").strip()
+        + "\nSELECT tok, CAST(CASE WHEN h64 >= 9223372036854775808::UHUGEINT"
+        "  THEN h64::HUGEINT - 18446744073709551616::HUGEINT"
+        "  ELSE h64::HUGEINT END AS BIGINT) AS h FROM hashes"
+    )
+    got = {t: int(h) for t, h in con.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_simhash_oracle_equals_spark(spark):
+    """End-to-end: the SQL simhash oracle (XXH64 + TF bit sums + all-pairs
+    hamming) reproduces the Spark gate output exactly."""
+    import duckdb
+
+    from otel_logger_spark.graftdata import corpus_cte
+    from otel_logger_spark.oracles_xxh64 import simhash_pairs_oracle
+    from otel_logger_spark.queries_training import q_simhash_pairs
+
+    for sf in ("0.001", "0.01"):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in q_simhash_pairs(spark, f"/root/testdata/sf{sf}").collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf{sf}/documents.parquet'"
+        )
+        want = {
+            (int(a), int(b), int(h))
+            for a, b, h in con.sql(simhash_pairs_oracle(corpus_cte())).fetchall()
+        }
+        assert got == want and got

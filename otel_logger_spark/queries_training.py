@@ -20,7 +20,6 @@ from otel_logger_spark.functions.multimodal import as_media, decode_media
 from otel_logger_spark.functions.similarity import (
     cosine_topk,
     lsh_ann_topk,
-    near_dup_pairs_cosine,
     near_dup_pairs_lsh,
 )
 from otel_logger_spark.functions.text import (

@@ -14,7 +14,8 @@ run against this engine:
 | --continuation-pattern    | continuation_pattern          |
 | --batch-size              | arrow batch size / trigger    |
 | --flush-interval          | streaming trigger interval    |
-| --timeout                 | (write-task timeout; n/a)     |
+| --timeout                 | per-sink export deadline      |
+|                           | (<= 0 disables, as in OTel)   |
 | --passthrough-stdout/err  | passthrough_raw_sink          |
 | positional command        | (n/a: input table plays the   |
 |                           |  wrapped process's streams)   |
@@ -51,11 +52,41 @@ _UNIT_MS = {
 }
 
 
+def _parse_go_duration(s: str) -> float:
+    """Go time.ParseDuration -> SIGNED milliseconds (float). Raises
+    ValueError on syntax Go rejects; sign is preserved (Go durations are
+    signed — what a negative MEANS is the caller's flag semantics)."""
+    orig = s
+    s = s.strip()
+    negative = False
+    if s[:1] in ("+", "-"):
+        negative = s[0] == "-"
+        s = s[1:]
+    if s == "0":  # Go's only unitless duration
+        return 0.0
+    pos = 0
+    total_ms = 0.0
+    for m in _GO_DURATION_PART.finditer(s):
+        if m.start() != pos:
+            raise ValueError(f"invalid duration {orig!r}")
+        total_ms += float(m.group(1)) * _UNIT_MS[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise ValueError(f"invalid duration {orig!r}")
+    return -total_ms if negative else total_ms
+
+
 def go_duration_to_ms(s: str) -> int:
-    """Go duration -> whole milliseconds (sub-ms positives floor to 1;
-    parse rules identical to go_duration_to_interval)."""
-    interval = go_duration_to_interval(s)
-    return int(interval.split()[0])
+    """Go duration -> whole milliseconds, signed. Sub-ms POSITIVES floor to
+    1 ms (a requested deadline, however tiny, stays a deadline); zero and
+    negatives pass through — per the reference's export-timeout semantics
+    (otlp exporters skip the WithTimeout branch when the configured timeout
+    is <= 0), a non-positive --timeout means NO deadline, so the caller
+    must be able to see the sign."""
+    total_ms = _parse_go_duration(s)
+    if 0 < total_ms < 1:
+        return 1
+    return int(round(total_ms))
 
 
 def go_duration_to_interval(s: str) -> str:
@@ -66,25 +97,9 @@ def go_duration_to_interval(s: str) -> str:
     zero has no streaming-trigger meaning — fail loudly over silently
     clamping). Sub-millisecond positives floor to 1 millisecond, the
     smallest non-zero Spark trigger, never to a 0 interval."""
-    orig = s
-    s = s.strip()
-    negative = False
-    if s[:1] in ("+", "-"):
-        negative = s[0] == "-"
-        s = s[1:]
-    if s == "0":  # Go's only unitless duration
-        return "0 milliseconds"
-    pos = 0
-    total_ms = 0.0
-    for m in _GO_DURATION_PART.finditer(s):
-        if m.start() != pos:
-            raise ValueError(f"invalid duration {orig!r}")
-        total_ms += float(m.group(1)) * _UNIT_MS[m.group(2)]
-        pos = m.end()
-    if pos != len(s) or pos == 0:
-        raise ValueError(f"invalid duration {orig!r}")
-    if negative and total_ms > 0:
-        raise ValueError(f"negative flush interval not supported: {orig!r}")
+    total_ms = _parse_go_duration(s)
+    if total_ms < 0:
+        raise ValueError(f"negative flush interval not supported: {s!r}")
     if 0 < total_ms < 1:
         return "1 milliseconds"
     return f"{int(round(total_ms))} milliseconds"
@@ -154,7 +169,11 @@ class PipelineConfig:
                 cfg.flush_interval = go_duration_to_interval(argv[i + 1])
                 i += 2
             elif a == "--timeout":
-                cfg.export_timeout_ms = go_duration_to_ms(argv[i + 1])
+                # reference semantics: a non-positive export timeout means
+                # NO deadline (the exporter's WithTimeout branch is skipped
+                # when <= 0) — so "--timeout 0" disables, never insta-kills
+                ms = go_duration_to_ms(argv[i + 1])
+                cfg.export_timeout_ms = None if ms <= 0 else ms
                 i += 2
             elif a == "--passthrough-stdout" or a == "--passthrough-stderr":
                 cfg.passthrough_raw_sink = True

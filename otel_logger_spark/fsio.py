@@ -98,6 +98,13 @@ class HadoopFS:
             return self.read_text(tmp)
         return None
 
+    def file_count(self, path: str) -> int:
+        """Recursive file count under ``path`` in ONE gateway call
+        (ContentSummary — a namenode-side aggregate on HDFS, a LIST on
+        object stores). Used to pick the lineage strategy without paying
+        a per-file listing first."""
+        return int(self._fs.getContentSummary(self._p(path)).getFileCount())
+
     def list_files_recursive(self, path: str, suffix: str = ".parquet"):
         """Yield paths (as strings) of all files under ``path`` with the
         given suffix, any partitionBy nesting depth."""
@@ -112,10 +119,12 @@ class HadoopFS:
 
     def parquet_row_count(self, path: str) -> int:
         """Footer-only row count of ONE file via parquet-hadoop (ranged GET
-        on object storage; no data pages read). Single-file utility: the
-        test suite uses it to cross-check the distributed lineage counts;
-        product lineage never loops this per file (sinks.py
-        parquet_partition_lineage runs one distributed job instead)."""
+        on object storage; no data pages read). Lineage loops this on the
+        driver ONLY for small sinks (<= the file-count threshold in
+        sinks.parquet_partition_lineage, where a handful of ms-scale footer
+        reads beats a Spark job's fixed scheduling cost); big sinks use the
+        one distributed job. The test suite also uses it to cross-check the
+        distributed counts."""
         HadoopInputFile = self._jvm.org.apache.parquet.hadoop.util.HadoopInputFile
         ParquetFileReader = self._jvm.org.apache.parquet.hadoop.ParquetFileReader
         reader = ParquetFileReader.open(

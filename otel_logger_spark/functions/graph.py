@@ -5,23 +5,28 @@ pairwise-threshold output expresses (the reference's pair operators stop
 at pairs; a user deduplicating a corpus needs the closure, so this is a
 first-class training-data operator alongside dedup.py).
 
-Algorithm: iterative min-label propagation in pure DataFrames — each round
-every node takes min(own label, neighbors' labels); fixpoint in
-O(component diameter) rounds. Near-dup families are dense and shallow
-(diameter 2-4 in practice), so a handful of rounds close 10^9-node graphs;
-each round is one shuffle on the edge key. Convergence is detected from
-sum(label) — labels only ever decrease, so an unchanged sum IS the
-fixpoint (one tiny aggregate action per round, no extra join).
+Two algorithms behind one API (``algorithm=``):
+
+- ``"label_propagation"`` (default): iterative min-label propagation in
+  pure DataFrames — each round every node takes min(own label, neighbors'
+  labels); fixpoint in O(component diameter) rounds. Near-dup families are
+  dense and shallow (diameter 2-4 in practice — LSH verification only
+  emits pairs above a similarity threshold, which is near-transitive), so
+  a handful of rounds close 10^9-node graphs; each round is one shuffle on
+  the edge key. Convergence is detected TYPE-AGNOSTICALLY by counting
+  changed labels inside the same round's projection (labels only ever
+  decrease, so zero strict decreases IS the fixpoint) — works for string
+  doc ids (hashes/uuids) as well as numeric, where a sum()-based check
+  would silently cast to NULL and exit early.
+- ``"two_phase"``: the alternating large-star/small-star formulation
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  2014) — converges in O(log^2 n) rounds regardless of diameter, the
+  right choice for adversarial chains (each round is two groupBy+join
+  passes over the edge set instead of one, so label propagation stays the
+  default for the shallow graphs dedup actually produces).
+
 ``localCheckpoint`` truncates the growing iterative lineage each round
 (the classic Spark iterative-algorithm requirement).
-
-For ADVERSARIAL diameters (a 10^6-long chain of near-dups) the
-alternating large-star/small-star formulation (Kiveris et al., "Connected
-Components in MapReduce and Beyond") converges in O(log^2 n) rounds with
-the same per-round join shape; label propagation is chosen as the default
-because dup families produced by LSH verification are never chains — the
-verify step only emits pairs above a similarity threshold, which is
-near-transitive.
 """
 
 from __future__ import annotations
@@ -37,9 +42,11 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 50,
+    algorithm: str = "label_propagation",
 ) -> DataFrame:
     """Returns (``id_col``, cluster_id): cluster_id = min node id in the
-    component. Every node appears, singletons included."""
+    component (min works for any orderable id type — long, string, ...).
+    Every node appears, singletons included."""
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
@@ -49,14 +56,29 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)  # edges reused every round
     )
+    if algorithm == "two_phase":
+        out = _two_phase_cc(labels, sym, max_iter)
+    elif algorithm == "label_propagation":
+        out = _label_propagation_cc(labels, sym, max_iter)
+    else:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r} "
+            "(want 'label_propagation' or 'two_phase')"
+        )
+    return out.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def _label_propagation_cc(labels: DataFrame, sym: DataFrame, max_iter: int) -> DataFrame:
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["u"] == labels["node"])
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the fixpoint probe rides the SAME projection: a row changed iff a
+        # neighbor offered a strictly smaller label (labels only decrease,
+        # and '<' is type-agnostic — no numeric cast, unlike sum(label))
         new = (
             labels.alias("l")
             .join(nbr.alias("n"), "node", "left")
@@ -65,20 +87,82 @@ def connected_components(
                 F.least(
                     F.col("l.label"), F.coalesce("n.nbr_label", "l.label")
                 ).alias("label"),
+                (F.col("n.nbr_label") < F.col("l.label")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = new.agg(F.sum("label")).collect()[0][0]
-        labels = new
-        if new_sum == prev_sum:  # labels only decrease: fixpoint reached
+        n_changed = new.filter("_changed").count()  # local scan of the checkpoint
+        labels = new.drop("_changed")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(adversarial diameter? use the large-star/small-star variant)"
+            "(adversarial diameter? use algorithm='two_phase')"
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return labels
+
+
+def _two_phase_cc(labels: DataFrame, sym: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star / small-star (Kiveris et al. 2014).
+
+    Edges are kept canonical as (hi, lo) with hi > lo. Each round:
+    - large-star: per node u, m = min(neighborhood(u) + {u}); every
+      STRICTLY LARGER neighbor v > u re-attaches to m -> emit (v, m).
+    - small-star: per node hi over its <=-neighbors (the canonical lo
+      side), m = min(los); every other lo and hi itself attach to m.
+    The edge set converges to a star forest where every edge is
+    (node, component-min); O(log^2 n) rounds for ANY diameter. Fixpoint =
+    the canonical edge set is unchanged by a full round (exact check:
+    equal counts + empty exceptAll — both sides are distinct sets)."""
+    canon = (
+        sym.filter(F.col("u") > F.col("v"))
+        .select(F.col("u").alias("hi"), F.col("v").alias("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = canon.count()
+    for _ in range(max_iter):
+        if n_prev == 0:  # edgeless graph: all singletons
+            break
+        both = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        # large-star: m = min over v's and u itself; attach v > u to m
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        large = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), m.alias("lo"))  # v > u >= m
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over the large-star output (already canonical hi > lo)
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        attached = large.join(mins2, "hi").select(
+            F.col("lo").alias("hi"), F.col("m").alias("lo")  # lo >= m
+        ).filter(F.col("hi") > F.col("lo"))
+        roots = mins2.select(F.col("hi"), F.col("m").alias("lo"))  # hi > m
+        new = attached.union(roots).distinct().localCheckpoint(eager=True)
+        n_new = new.count()
+        unchanged = (
+            n_new == n_prev and new.exceptAll(canon).limit(1).count() == 0
+        )
+        canon, n_prev = new, n_new
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"two_phase connected_components did not converge in {max_iter} rounds"
+        )
+    # star forest: every non-root node has exactly one (node, min) edge
+    lab = canon.groupBy("hi").agg(F.min("lo").alias("_root"))
+    return (
+        labels.select("node")
+        .join(lab, labels["node"] == lab["hi"], "left")
+        .select("node", F.coalesce("_root", "node").alias("label"))
+    )
 
 
 def dedup_clusters(
@@ -87,13 +171,16 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
+    algorithm: str = "label_propagation",
 ) -> DataFrame:
     """Near-dup FAMILIES from pair output: one row per doc with its
     cluster_id (min doc id of the family — the canonical keeper) and the
     family size. Downstream dedup keeps ``doc_id == cluster_id`` rows."""
     from pyspark.sql import Window
 
-    cc = connected_components(docs, pairs, id_col, src_col, dst_col)
+    cc = connected_components(
+        docs, pairs, id_col, src_col, dst_col, algorithm=algorithm
+    )
     w = Window.partitionBy("cluster_id")
     return cc.withColumn(
         "cluster_size", F.count("*").over(w).cast("long")

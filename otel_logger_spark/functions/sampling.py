@@ -9,10 +9,21 @@ of books, 25% of web, drop source X"). Requirements at 100 TB:
   bit-for-bit by the DuckDB oracle — which rules out xxhash64 (Spark-only).
 
 So the sample key is the Knuth multiplicative hash in plain 64-bit integer
-arithmetic: key(id) = (id * 2654435761) mod 2^32, uniform over [0, 2^32)
-for sequential or arbitrary ids, identical in any engine. Keep iff
-key < rate * 2^32. Safe for ids < 2^32 (the product stays below 2^63);
-larger id spaces should pre-fold (id % 2^32 xor id >> 32).
+arithmetic: key(id) = (fold(id) * 2654435761) mod 2^32, uniform over
+[0, 2^32) for sequential or arbitrary ids, identical in any engine. Keep
+iff key < floor(rate * 2^32).
+
+Overflow discipline (the whole point of the formulation): a naive
+``id * 2654435761`` exceeds 2^63-1 for any id > 3,474,701,543 — Spark
+(non-ANSI) would wrap the long negative, silently KEEPING rows in rate-0
+strata, while the DuckDB oracle errors on BIGINT overflow. So the key is
+computed overflow-free for the FULL unsigned-64 id space:
+
+1. pre-fold to 32 bits:  f = (id mod 2^32) xor (id >>> 32)   (f < 2^32;
+   the identity for ids < 2^32, so small-id keys are unchanged)
+2. 16-bit-limb modular multiply:  with lo = f & 0xffff, hi = f >> 16,
+   key = ((lo*M) mod 2^32 + ((hi*M) mod 2^16) * 2^16) mod 2^32
+   Every intermediate stays below 2^48 — exact in int64 on any engine.
 
 Everything is a single whole-stage-codegen filter — no shuffle, no UDF;
 at scale the filter pushes into the scan's row-group evaluation.
@@ -28,8 +39,23 @@ _KEY_SPACE = 1 << 32
 
 
 def sample_key(id_col: Column) -> Column:
-    """(id * 2654435761) mod 2^32 — engine-portable uniform key."""
-    return (id_col.cast("long") * F.lit(KNUTH_MULT)) % F.lit(_KEY_SPACE)
+    """(fold32(id) * 2654435761) mod 2^32 — engine-portable uniform key,
+    overflow-free over the full 64-bit id space (see module docstring).
+    Identical to the naive product mod 2^32 for ids < 2^32."""
+    x = id_col.cast("long")
+    folded = F.pmod(x, F.lit(_KEY_SPACE)).bitwiseXOR(F.shiftrightunsigned(x, 32))
+    lo = folded.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftrightunsigned(folded, 16)
+    return (
+        (lo * F.lit(KNUTH_MULT)) % F.lit(_KEY_SPACE)
+        + ((hi * F.lit(KNUTH_MULT)) % F.lit(1 << 16)) * F.lit(1 << 16)
+    ) % F.lit(_KEY_SPACE)
+
+
+def sample_key_py(i: int) -> int:
+    """Pure-Python reference of sample_key (tests + oracle generation)."""
+    f = (i % _KEY_SPACE) ^ ((i % (1 << 64)) >> 32)
+    return (f * KNUTH_MULT) % _KEY_SPACE
 
 
 def stratified_sample(
@@ -43,8 +69,14 @@ def stratified_sample(
     sample_key(id) < floor(rate(stratum) * 2^32). Strata absent from
     ``rates`` use ``default_rate`` (0.0 = drop — quotas are explicit, a
     misspelled source name yields zero rows, not a silent 100%)."""
+    import math
+
     key = sample_key(F.col(id_col))
-    thr: Column = F.lit(int(default_rate * _KEY_SPACE))
+    # floor (not round/truncate-ambiguous) so the DuckDB oracle's
+    # CAST(FLOOR(rate * 4294967296) AS BIGINT) lands on the same threshold
+    thr: Column = F.lit(math.floor(default_rate * _KEY_SPACE))
     for s, r in sorted(rates.items()):
-        thr = F.when(F.col(strata_col) == s, F.lit(int(r * _KEY_SPACE))).otherwise(thr)
+        thr = F.when(
+            F.col(strata_col) == s, F.lit(math.floor(r * _KEY_SPACE))
+        ).otherwise(thr)
     return df.filter(key < thr)

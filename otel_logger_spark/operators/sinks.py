@@ -65,35 +65,60 @@ def save_manifest(spark, out_dir: str, manifest: dict) -> None:
     )
 
 
+# Below this many part files, per-file driver footer reads (a few ms each:
+# one py4j round-trip + a footer-ranged read) are cheaper than a Spark
+# job's fixed scheduling cost — measured at sf0.1 this was the round-3
+# full_pipeline regression (+0.5s: four per-sink footer-count JOBS whose
+# fixed costs dominate at small scale). At the 100 TB target every real
+# sink has >> 64 files, so production lineage takes the distributed branch.
+SMALL_SINK_MAX_FILES = 64
+
+
 def parquet_partition_lineage(spark, path: str) -> list[dict]:
     """Per-partition lineage read from the committed parquet footers: every
     write task produces one part file, so footer row counts ARE the
     per-partition counts.
 
-    The counts come from ONE distributed Spark job: an empty-required-schema
-    scan (``ReadSchema: struct<>`` — the vectorized reader serves batch
-    sizes straight from row-group metadata, no column pages decoded)
-    grouped by ``input_file_name()``, one tiny output row per part file.
-    At the 100 TB target's 10^5-10^6 part files this is seconds of
-    cluster-parallel metadata work; the round-2 version looped footer reads
-    serially on the driver (py4j round-trip + object-store ranged GET per
-    file — minutes to hours inside every sink's commit path).
-    Relativization of the returned URIs is pure-Python string work
-    (fsio.relativize_many): O(1) gateway calls total."""
-    try:
+    Strategy by sink size (one ContentSummary gateway call decides):
+    - <= SMALL_SINK_MAX_FILES part files: list + read each footer on the
+      driver (ms each; no Spark job — the fixed per-job scheduling cost is
+      the regression at tiny scale).
+    - bigger sinks: ONE distributed Spark job — an empty-required-schema
+      scan (``ReadSchema: struct<>``; the vectorized reader serves batch
+      sizes straight from row-group metadata, no column pages decoded)
+      grouped by ``input_file_name()``, one tiny output row per part file.
+      At the 100 TB target's 10^5-10^6 part files this is seconds of
+      cluster-parallel metadata work; a serial driver loop there would be
+      minutes to hours inside every sink's commit path.
+    Relativization of returned URIs is pure-Python string work
+    (fsio.relativize_many): O(1) extra gateway calls.
+
+    A zero-row sink (overwrite leaves only _SUCCESS, no part files) yields
+    an empty lineage; any OTHER failure (permissions, transient object-store
+    errors, corrupt footers) PROPAGATES — a blanket catch here would let a
+    transient error masquerade as a legitimately-empty sink."""
+    fs = HadoopFS(spark, path)
+    # raw file count (ONE gateway call) includes commit markers and local-FS
+    # .crc shadows, so it only gates whether listing is cheap; the branch
+    # decision uses the true part-file count from the listing
+    files = None
+    if fs.file_count(path) <= 2 * SMALL_SINK_MAX_FILES + 4:
+        files = fs.list_files_recursive(path, ".parquet")
+        if not files:
+            return []  # zero-row sink: only commit markers present
+    if files is not None and len(files) <= SMALL_SINK_MAX_FILES:
+        pairs = [(f, fs.parquet_row_count(f)) for f in files]
+        rels = fs.relativize_many(path, [f for f, _ in pairs])
+        by_file = sorted(zip(rels, (n for _, n in pairs)))
+    else:
         rows = (
             spark.read.parquet(path)
             .groupBy(F.input_file_name().alias("file"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .collect()
         )
-    except Exception:
-        # zero-row sink: overwrite leaves no part files, only _SUCCESS, and
-        # the read fails schema inference — an empty lineage is correct
-        return []
-    fs = HadoopFS(spark, path)
-    rels = fs.relativize_many(path, [r["file"] for r in rows])
-    by_file = sorted(zip(rels, (int(r["n_rows"]) for r in rows)))
+        rels = fs.relativize_many(path, [r["file"] for r in rows])
+        by_file = sorted(zip(rels, (int(r["n_rows"]) for r in rows)))
     return [
         {"partition_id": i, "n_rows": n, "file": rel}
         for i, (rel, n) in enumerate(by_file)
@@ -124,10 +149,12 @@ def _run_with_timeout(spark, group: str, timeout_ms: int | None, fn):
     so a resume retries exactly the timed-out export — the same
     at-least-once retry shape as the reference's batching exporter.
     Job groups are thread-local, which is exactly right here: every sink
-    write already runs in its own thread (or the main thread for logs)."""
+    write already runs in its own thread (or the main thread for logs).
+    A non-positive timeout means NO deadline (the reference's exporter
+    skips its WithTimeout branch when the configured timeout is <= 0)."""
     import threading
 
-    if timeout_ms is None:
+    if timeout_ms is None or timeout_ms <= 0:
         return fn()
     sc = spark.sparkContext
     sc.setJobGroup(group, f"sink export (timeout {timeout_ms} ms)", True)

@@ -146,15 +146,26 @@ def q_training_mix(spark, sf_dir):
     )
 
 
+# Mirrors sampling.sample_key exactly: 32-bit pre-fold then 16-bit-limb
+# modular multiply (overflow-free in BIGINT — the naive doc_id*2654435761
+# overflows for doc_id > 3.47e9), and FLOOR on every threshold so both
+# engines truncate identically (CAST alone ROUNDS in DuckDB: 0.1*2^32
+# would become ...730 vs the engine's floor ...729).
 O_TRAINING_MIX = """
-WITH keyed AS (
-  SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS k,
-    CASE source WHEN 'src0' THEN CAST(0.9 * 4294967296 AS BIGINT)
-                WHEN 'src1' THEN CAST(0.5 * 4294967296 AS BIGINT)
-                WHEN 'src2' THEN CAST(0.25 * 4294967296 AS BIGINT)
+WITH folded AS (
+  SELECT source, doc_id,
+    xor(doc_id % 4294967296, doc_id // 4294967296) AS f
+  FROM documents),
+keyed AS (
+  SELECT source, doc_id,
+    (((f % 65536) * 2654435761) % 4294967296
+     + (((f // 65536) * 2654435761) % 65536) * 65536) % 4294967296 AS k,
+    CASE source WHEN 'src0' THEN CAST(FLOOR(0.9 * 4294967296) AS BIGINT)
+                WHEN 'src1' THEN CAST(FLOOR(0.5 * 4294967296) AS BIGINT)
+                WHEN 'src2' THEN CAST(FLOOR(0.25 * 4294967296) AS BIGINT)
                 WHEN 'src3' THEN 0
-                ELSE CAST(0.1 * 4294967296 AS BIGINT) END AS thr
-  FROM documents)
+                ELSE CAST(FLOOR(0.1 * 4294967296) AS BIGINT) END AS thr
+  FROM folded)
 SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM keyed WHERE k < thr GROUP BY 1
 """

@@ -301,6 +301,76 @@ def test_lineage_distributed_no_serial_footer_loop(spark, tmp_path, monkeypatch)
         assert real_prc(fs, join_path(path, p["file"])) == p["n_rows"]
 
 
+def test_lineage_small_sink_uses_driver_footers_no_spark_job(spark, tmp_path):
+    """Below SMALL_SINK_MAX_FILES part files the lineage must come from
+    driver footer reads, NOT a Spark job — the per-job fixed scheduling
+    cost was the round-3 full_pipeline bench regression (+0.5 s at sf0.1
+    from four per-sink footer-count jobs). Assert zero jobs run during the
+    lineage call and that the counts equal the distributed formulation's."""
+    from otel_logger_spark.operators.sinks import (
+        _write_one,
+        parquet_partition_lineage,
+    )
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).repartition(8)
+    path = str(tmp_path / "small_sink")
+    n, parts = _write_one(df, path, "parquet")
+    assert n == 5_000
+    assert 1 <= len(parts) <= 8
+    assert sum(p["n_rows"] for p in parts) == n
+    # any job launched from this thread would inherit this job group
+    sc = spark.sparkContext
+    sc.setJobGroup("lineage-small-probe", "no jobs expected")
+    try:
+        parts2 = parquet_partition_lineage(spark, path)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert parts2 == parts
+    assert sc.statusTracker().getJobIdsForGroup("lineage-small-probe") == [], (
+        "small-sink lineage must not launch Spark jobs"
+    )
+
+
+def test_lineage_read_errors_propagate_not_swallowed(spark, tmp_path):
+    """A transient listing/footer failure must PROPAGATE, never be
+    mistaken for a legitimately-empty (zero-row) sink — a blanket catch
+    here would commit empty lineage that looks identical to success."""
+    import pytest
+
+    from otel_logger_spark.fsio import HadoopFS
+    from otel_logger_spark.operators.sinks import parquet_partition_lineage
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    path = str(tmp_path / "sink")
+    df.repartition(2).write.parquet(path)
+
+    boom = RuntimeError("transient object-store failure")
+
+    def raising(self, p, suffix=".parquet"):
+        raise boom
+
+    orig = HadoopFS.list_files_recursive
+    HadoopFS.list_files_recursive = raising
+    try:
+        with pytest.raises(RuntimeError, match="transient object-store"):
+            parquet_partition_lineage(spark, path)
+    finally:
+        HadoopFS.list_files_recursive = orig
+    # a sink directory with no part files at all (only commit markers —
+    # what an overwrite of zero rows can leave) yields empty lineage
+    empty = tmp_path / "empty_sink"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_text("")
+    assert parquet_partition_lineage(spark, str(empty)) == []
+    # and an empty DataFrame's 0-row part file is legitimate 0-row lineage
+    zdir = str(tmp_path / "zero_rows")
+    spark.range(0, 10).filter("id < 0").write.parquet(zdir)
+    parts0 = parquet_partition_lineage(spark, zdir)
+    assert sum(p["n_rows"] for p in parts0) == 0
+
+
 def test_manifest_overwrite_is_atomic_rename(spark, tmp_path):
     """Manifest overwrite must never pass through a window where the target
     is absent: on FileContext-capable schemes (local, HDFS) the rename is a

@@ -168,3 +168,28 @@ def test_timeout_flag_mapping():
     assert PipelineConfig().export_timeout_ms is None  # no default deadline
     assert go_duration_to_ms("1.5s") == 1500
     assert go_duration_to_ms("100us") == 1  # sub-ms floors to 1, never 0
+    # OTel export-timeout semantics: <= 0 disables the deadline entirely —
+    # "--timeout 0" must NOT arm a Timer(0) that insta-cancels every sink
+    assert go_duration_to_ms("0") == 0
+    assert go_duration_to_ms("-5s") == -5000  # Go durations are signed
+    for spelling in ("0", "-5s", "-1ns"):
+        cfg = PipelineConfig.from_reference_args(["--timeout", spelling])
+        assert cfg.export_timeout_ms is None, spelling
+
+
+def test_timeout_zero_runs_sink_to_completion(spark, tmp_path):
+    """--timeout 0 (no deadline) must let a write finish; a defensive
+    direct call with timeout_ms=0 must behave the same."""
+    import pyspark.sql.functions as F
+
+    from otel_logger_spark.operators.sinks import _run_with_timeout, _write_one
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    n, parts = _run_with_timeout(
+        spark, "t0", 0, lambda: _write_one(df, str(tmp_path / "s0"), "parquet")
+    )
+    assert n == 1000
+    n, _ = _run_with_timeout(
+        spark, "tneg", -1, lambda: _write_one(df, str(tmp_path / "s1"), "parquet")
+    )
+    assert n == 1000

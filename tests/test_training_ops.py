@@ -351,6 +351,73 @@ def test_connected_components_shapes(spark):
         connected_components(nodes, edges, max_iter=1)
 
 
+def test_connected_components_string_ids(spark):
+    """Corpus doc ids are often hashes/uuids (strings). The fixpoint check
+    must be type-agnostic: a sum(label)-based probe silently casts strings
+    to NULL and exits after ONE round with unconverged labels — this chain
+    needs 3+ rounds, so it catches any numeric-only detection."""
+    from otel_logger_spark.functions.graph import connected_components
+
+    ids = [f"doc-{i:02d}" for i in range(8)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    # one long chain (diameter 7 — multiple propagation rounds required)
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(7)], "doc_a string, doc_b string"
+    )
+    for algo in ("label_propagation", "two_phase"):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(nodes, edges, algorithm=algo).collect()
+        }
+        assert got == {i: "doc-00" for i in ids}, algo
+
+
+def test_two_phase_cc_adversarial_chain(spark):
+    """A 10^4-node chain (diameter 10^4) defeats label propagation within
+    any sane round budget; the alternating large-star/small-star variant
+    must converge in O(log^2 n) rounds (well under 40) with every node
+    labeled by the chain min."""
+    import pyspark.sql.functions as F
+
+    from otel_logger_spark.functions.graph import connected_components
+
+    n = 10_000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = connected_components(
+        nodes, edges, max_iter=40, algorithm="two_phase"
+    )
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cluster_id") == 0).cast("long")).alias("n_zero"),
+    ).collect()[0]
+    assert agg["n"] == n and agg["n_zero"] == n
+
+
+def test_two_phase_matches_label_propagation_random(spark):
+    """Both algorithms are exact — on a random graph their outputs must be
+    row-identical (the adversarial-diameter variant is not an
+    approximation)."""
+    import random
+
+    from otel_logger_spark.functions.graph import connected_components
+
+    rng = random.Random(7)
+    n = 400
+    edges_py = {(a, b) for a, b in (
+        sorted(rng.sample(range(n), 2)) for _ in range(300)
+    )}
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        sorted(edges_py), "doc_a long, doc_b long"
+    )
+    lp = connected_components(nodes, edges, algorithm="label_propagation")
+    tp = connected_components(nodes, edges, algorithm="two_phase")
+    assert sorted(map(tuple, lp.collect())) == sorted(map(tuple, tp.collect()))
+
+
 def test_stratified_sample_deterministic(spark):
     from otel_logger_spark.functions.sampling import stratified_sample
 
@@ -374,6 +441,51 @@ def test_stratified_sample_deterministic(spark):
     half = {r["doc_id"] for r in stratified_sample(docs, {"src1": 0.5}).collect()}
     quarter = {r["doc_id"] for r in stratified_sample(docs, {"src1": 0.25}).collect()}
     assert quarter <= half
+
+
+def test_sample_key_overflow_free_large_ids(spark):
+    """The naive id*2654435761 overflows int64 for id > 3.47e9 — Spark
+    would wrap negative and KEEP rows in rate-0 strata while the DuckDB
+    oracle errors. The limb formulation must agree with the pure-Python
+    reference (exact big-int arithmetic) across the whole id range,
+    including 2^40-scale ids, and a rate-0.0 stratum must stay empty."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from otel_logger_spark.functions.sampling import (
+        sample_key,
+        sample_key_py,
+        stratified_sample,
+    )
+
+    ids = [
+        0, 1, 7, 3_474_701_543, 3_474_701_544, 2**32 - 1, 2**32,
+        2**40 + 12_345, 2**50 + 999, 2**62 + 3, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select("doc_id", sample_key(F.col("doc_id")).alias("k")).collect()
+    }
+    for i in ids:
+        expect = sample_key_py(i)
+        assert got[i] == expect, (i, got[i], expect)
+        assert 0 <= got[i] < 2**32
+        # the DuckDB-oracle spelling computes the identical key (no overflow)
+        (dk,) = duckdb.execute(
+            """SELECT (((f % 65536) * 2654435761) % 4294967296
+                     + (((f // 65536) * 2654435761) % 65536) * 65536) % 4294967296
+               FROM (SELECT xor(? % 4294967296, ? // 4294967296) AS f)""",
+            [i, i],
+        ).fetchone()
+        assert dk == expect, i
+    # rate-0.0 stratum: every row dropped even at overflow-prone ids
+    big = spark.createDataFrame(
+        [(i, "banned") for i in ids], "doc_id long, source string"
+    )
+    assert stratified_sample(big, {"banned": 0.0}).count() == 0
+    # and deterministic keep at rate 1.0 (threshold 2^32 > every key)
+    assert stratified_sample(big, {"banned": 1.0}).count() == len(ids)
 
 
 def test_signature_array_forms_match_explode_groupby(spark, docs):

@@ -21,6 +21,48 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _regressions_vs_previous(timings: dict, threshold: float = 0.10) -> dict:
+    """Compare this run's per-query seconds to the newest BENCH_r{N}.json
+    driver artifact; return {"vs": file, "flagged": {query: {prev, now,
+    pct}}} ({"vs": None} on a first run). Comparable runs only: a different
+    sf would flag everything, so mismatched sf skips the diff, saying so."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            arts.append((int(m.group(1)), p))
+    if not arts:
+        return {"vs": None, "flagged": {}}
+    _, newest = max(arts)
+    try:
+        with open(newest) as f:
+            prev = json.load(f).get("parsed") or {}
+    except (OSError, ValueError):
+        return {"vs": os.path.basename(newest), "error": "unreadable", "flagged": {}}
+    sf_now = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_now = sf_now.rstrip("/").split("sf")[-1]
+    if str(prev.get("sf")) != str(sf_now):
+        return {
+            "vs": os.path.basename(newest),
+            "skipped": f"sf mismatch (prev {prev.get('sf')}, now {sf_now})",
+            "flagged": {},
+        }
+    flagged = {}
+    for name, now in timings.items():
+        was = (prev.get("queries") or {}).get(name)
+        if was and now > was * (1 + threshold):
+            flagged[name] = {
+                "prev": was,
+                "now": now,
+                "pct": round(100 * (now / was - 1), 1),
+            }
+    return {"vs": os.path.basename(newest), "flagged": flagged}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -84,6 +126,13 @@ def main():
         "n_turns": n_turns,
         "pipeline_turns_per_sec": round(n_turns / timings["full_pipeline"], 1),
     }
+    # regression guard: diff per-query timings against the newest recorded
+    # driver artifact (BENCH_r{N}.json) so a slowdown can never ship
+    # unremarked — the round-3 full_pipeline +14% went unnoticed because
+    # nothing compared rounds automatically. Flag >10% slowdowns; the
+    # disclosed 32-core run-to-run spread is ~13%, so single flags near the
+    # threshold are WATCH items, repeated flags are real.
+    out["regressions"] = _regressions_vs_previous(timings)
     # attach the north-rule scaling measurement if tools/bench_scaling.py has
     # produced one (BENCH/scaling.json; protocol in BENCH/BASELINE.md)
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

@@ -1,7 +1,11 @@
 """Training-data operator gates: dedup, similarity, text analysis,
-multimodal — queries() entries with DuckDB oracles where SQL-expressible
-(minhash/simhash/LSH-ANN/fingerprint are rows-only; the pytest suite
-cross-checks them against exact ground truth instead).
+multimodal — queries() entries with DuckDB oracles throughout except the
+two legitimately engine-specific ops (ann_ivf_topk: iterative Lloyd
+training; approx_distinct: HLL), which stay rows-only with pytest
+cross-checks against exact ground truth. Everything seed-derived has a
+real oracle: XXH64 re-implemented in SQL (oracles_xxh64.py) for
+simhash/minhash, literal-embedded hyperplanes with bit-exact unrolled
+float arithmetic for the LSH ANN (oracles_lsh.py).
 """
 
 from __future__ import annotations
@@ -291,10 +295,21 @@ WHERE a.vec_id < b.vec_id
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only gate; pytest measures recall vs exact)."""
+    """LSH-bucketed ANN, now ORACLE-CHECKED: the hyperplanes are
+    deterministic seeded doubles, so the oracle embeds them as literals and
+    re-derives bucketing + exact-cosine rank in DuckDB with the identical
+    IEEE double operation sequence (unrolled left-associated sums — see
+    oracles_lsh.py), bit-exact with no tolerance. pytest additionally
+    measures recall vs the exact top-k."""
     emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return lsh_ann_topk(emb, queries, k=5, n_planes=6, n_tables=8, dim=64)
+
+
+def _o_ann_lsh_topk() -> str:
+    from otel_logger_spark.oracles_lsh import lsh_ann_topk_oracle
+
+    return lsh_ann_topk_oracle(n_planes=6, n_tables=8, dim=64, k=5, seed=42)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -465,6 +480,7 @@ ORACLES_C = {
     "simhash_pairs": _o_simhash_pairs(),
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
+    "ann_lsh_topk": _o_ann_lsh_topk(),
     "lang_id": O_LANG_ID,
     "text_quality": O_TEXT_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,

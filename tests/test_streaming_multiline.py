@@ -148,6 +148,97 @@ def test_composed_streaming_runner_coalesces(spark, tmp_path):
         q.stop()
 
 
+def test_coalesce_plus_metrics_four_sink_equality(spark, tmp_path):
+    """COMPOSED mode: the stateful coalescer AND the conversation_metrics
+    partial sink active together, across >= 3 micro-batches. The coalescer
+    changes entry counts (continuations merge into their head entry), so
+    the per-batch metric partials see different rows than a no-coalesce
+    run — they must still finalize to exactly the batch pipeline's
+    conversation_metrics, and all four sinks must match the batch run."""
+    from pyspark.sql import functions as F
+
+    from otel_logger_spark.operators.rollups import conversation_metrics
+    from otel_logger_spark.pipeline import build_parsed
+    from otel_logger_spark.streaming.pipeline import (
+        read_conversation_metrics,
+        run_streaming_pipeline,
+    )
+    from otel_logger_spark.synth import synthesize_pandas
+
+    in_dir = str(tmp_path / "min")
+    os.makedirs(in_dir)
+    pdf = synthesize_pandas(24, seed=31)
+    # contiguous thirds: conversations (and some multiline entries) span
+    # the file boundaries, so with maxFilesPerTrigger=1 the coalescer must
+    # carry open entries across >= 3 micro-batches
+    third = len(pdf) // 3
+    for i, chunk in enumerate((pdf[:third], pdf[third : 2 * third], pdf[2 * third :])):
+        _write_batch(in_dir, f"b{i}.parquet", list(chunk.itertuples(index=False)))
+    out = str(tmp_path / "mout")
+
+    batch_routed = build_parsed(spark.read.parquet(in_dir))  # coalesce=True default
+    exp_logs = {
+        (r["conv_id"], r["turn_idx"], r["raw"]) for r in batch_routed.collect()
+    }
+    exp_err = {
+        (r["conv_id"], r["turn_idx"]) for r in batch_routed.filter("is_error").collect()
+    }
+    exp_tool = {
+        (r["conv_id"], r["turn_idx"])
+        for r in batch_routed.filter("is_tool_call").collect()
+    }
+    assert exp_err and exp_tool, "fixture must exercise every sink"
+
+    q = run_streaming_pipeline(
+        spark,
+        in_dir,
+        out,
+        str(tmp_path / "mckpt"),
+        available_now=False,
+        processing_time="1 second",
+        coalesce=True,
+        idle_flush_ms=15_000,
+        max_files_per_trigger=1,
+    )
+    try:
+        got_logs = set()
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            try:
+                got_logs = {
+                    (r["conv_id"], r["turn_idx"], r["raw"])
+                    for r in spark.read.parquet(os.path.join(out, "logs")).collect()
+                }
+            except Exception:
+                got_logs = set()
+            if got_logs == exp_logs:
+                break
+            time.sleep(2)
+        assert got_logs == exp_logs
+        n_batches = len(
+            [d for d in os.listdir(os.path.join(out, "logs")) if d.startswith("batchid=")]
+        )
+        assert n_batches >= 3, "input must have spanned >= 3 micro-batches"
+        got_err = {
+            (r["conv_id"], r["turn_idx"])
+            for r in spark.read.parquet(os.path.join(out, "error")).collect()
+        }
+        got_tool = {
+            (r["conv_id"], r["turn_idx"])
+            for r in spark.read.parquet(os.path.join(out, "tool_call")).collect()
+        }
+        assert got_err == exp_err
+        assert got_tool == exp_tool
+        # the 4th sink: partials re-aggregate to the batch rollup exactly
+        final = read_conversation_metrics(spark, out)
+        expected = conversation_metrics(batch_routed)
+        assert final.count() == expected.count()
+        assert final.exceptAll(expected).count() == 0
+        assert expected.exceptAll(final).count() == 0
+    finally:
+        q.stop()
+
+
 def test_batchid_writes_are_idempotent(spark, tmp_path):
     """A retried micro-batch must not double-append: each batch overwrites
     its own batchid=<id> partition, so rewriting it leaves counts fixed."""

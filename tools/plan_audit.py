@@ -91,6 +91,15 @@ COMMENT = {
         "pure codegen filter (multiplicative-hash threshold) over the "
         "scan + one aggregate exchange; the sampling predicate needs no "
         "shuffle and no UDF."),
+    "conversation_metrics_salted": (
+        "the extreme-skew path (operators/skew.py): phase 1 groups by "
+        "(conv_id, salt) so a hot conversation fans out over S tasks, "
+        "phase 2 merges the S partials. The plan must show exactly TWO "
+        "aggregate exchanges — (conv_id, _salt) then (conv_id) — with "
+        "map-side partial aggregation before each; the salt column is a "
+        "codegen pmod(hash(turn_idx)) projection, no extra scan or join. "
+        "At 10^12 turns a 1000x-hot conv_id becomes S parallel partials "
+        "instead of one straggler task."),
 }
 
 
@@ -122,6 +131,11 @@ def main():
         "flush_window_counts": Q.q_flush_window_counts(spark, sf_dir),
         "training_mix": QT.q_training_mix(spark, sf_dir),
     }
+    from otel_logger_spark.operators.skew import conversation_metrics_salted
+
+    dfs["conversation_metrics_salted"] = conversation_metrics_salted(
+        Q._routed(spark, sf_dir)
+    )
 
     out = [
         "# BENCH/PLANS — physical-plan audit of the headline queries\n",

@@ -134,8 +134,99 @@ O_MEDIAN_GAP = (
 )
 
 
+def q_asof_latest_signup(spark, sf_dir):
+    """Point-in-time attribution over the events table: every event joined
+    to the user's latest signup event at-or-before it (functions/asof.py —
+    union + carry-forward window, one shuffle on user_id). The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — a completely different algorithm
+    (binary-search partitioned hash) that must agree row-for-row."""
+    from otel_logger_spark.functions.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    # uniqueness per (by, on): the portable as-of contract (see asof.py)
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "signup_event_id",
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("signup_ts_us"),
+    )
+
+
+O_ASOF_LATEST_SIGNUP = """
+WITH r AS (
+  SELECT user_id, ts, MAX(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       r.signup_event_id, epoch_us(r.ts) AS signup_ts_us
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
+def q_asof_next_purchase(spark, sf_dir):
+    """FORWARD as-of with tolerance: for each click, the user's next
+    purchase within 10 minutes — conversion attribution, aggregated per
+    user. Exercises direction='forward' + tolerance_ms against an oracle
+    built from a window re-derivation (DuckDB ASOF is backward-only)."""
+    from otel_logger_spark.functions.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"],
+        direction="forward", tolerance_ms=600_000,
+    )
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.count("purchase_event_id").alias("n_converted"),
+        F.sum(
+            F.unix_micros(F.col("ts_r").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("sum_lag_us"),
+    )
+
+
+O_ASOF_NEXT_PURCHASE = """
+WITH p AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT c.event_id, c.user_id,
+    MIN(p.ts) AS p_ts
+  FROM c LEFT JOIN p ON p.user_id = c.user_id
+    AND p.ts >= c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+  GROUP BY 1, 2, c.ts),
+g AS (
+  SELECT m.event_id, m.user_id, epoch_us(m.p_ts) - epoch_us(c.ts) AS lag_us
+  FROM m JOIN c ON c.event_id = m.event_id)
+SELECT user_id, COUNT(*) AS n_clicks,
+  CAST(SUM(CASE WHEN lag_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+  CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
+FROM g GROUP BY 1
+"""
+
+
 QUERIES_X = {
     "median_gap": q_median_gap,
+    "asof_latest_signup": q_asof_latest_signup,
+    "asof_next_purchase": q_asof_next_purchase,
     "sessionization": q_sessionization,
     "pivot_role_severity": q_pivot_role_severity,
     "rollup_role_style": q_rollup_role_style,
@@ -144,6 +235,8 @@ QUERIES_X = {
 
 ORACLES_X = {
     "median_gap": O_MEDIAN_GAP,
+    "asof_latest_signup": O_ASOF_LATEST_SIGNUP,
+    "asof_next_purchase": O_ASOF_NEXT_PURCHASE,
     "sessionization": O_SESSIONIZATION,
     "pivot_role_severity": O_PIVOT_ROLE_SEVERITY,
     "rollup_role_style": O_ROLLUP_ROLE_STYLE,

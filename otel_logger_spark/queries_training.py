@@ -131,6 +131,23 @@ O_DEDUP_CLUSTERS = (
 )
 
 
+def q_dedup_clusters_two_phase(spark, sf_dir):
+    """The adversarial-diameter variant (alternating large-star/small-star,
+    Kiveris et al. 2014) behind the SAME gate as label propagation: three
+    independent fixpoint computations — Spark min-label propagation, Spark
+    two-phase star contraction, and the DuckDB RECURSIVE CTE — must agree
+    row-for-row on the same pair input."""
+    from otel_logger_spark.functions.graph import dedup_clusters
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    return dedup_clusters(
+        corpus.select("doc_id"),
+        pairs.select("doc_a", "doc_b"),
+        algorithm="two_phase",
+    )
+
+
 def q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sample (functions/sampling.py):
     per-source Bernoulli keep via the engine-portable Knuth multiplicative
@@ -457,6 +474,7 @@ QUERIES_C = {
     "dedup_drop_exact": q_dedup_drop_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_two_phase": q_dedup_clusters_two_phase,
     "training_mix": q_training_mix,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -475,6 +493,7 @@ ORACLES_C = {
     "dedup_drop_exact": O_DEDUP_DROP_EXACT,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "dedup_clusters": O_DEDUP_CLUSTERS,
+    "dedup_clusters_two_phase": O_DEDUP_CLUSTERS,
     "training_mix": O_TRAINING_MIX,
     "minhash_pairs": O_MINHASH_PAIRS,
     "simhash_pairs": _o_simhash_pairs(),

@@ -223,10 +223,55 @@ FROM g GROUP BY 1
 """
 
 
+def q_range_click_incidents(spark, sf_dir):
+    """Interval containment at scale: clicks landing inside any
+    24-hour incident window opened by an error event of the same user
+    (functions/rangejoin.py — bucketized equi-join, never a nested-loop
+    range join), aggregated per user. Oracle: the plain BETWEEN join
+    DuckDB executes with its own IEJoin operator."""
+    from otel_logger_spark.functions.rangejoin import range_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("end_ts"),
+    )
+    pairs = range_join(
+        clicks, incidents, "ts", "start_ts", "end_ts",
+        by=["user_id"], bucket_width_us=86_400_000_000,  # ~ interval length
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_clicks_in_incident"),
+        F.countDistinct("incident_id").alias("n_active_incidents"),
+    )
+
+
+O_RANGE_CLICK_INCIDENTS = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+i AS (SELECT event_id AS incident_id, user_id, ts AS start_ts,
+             ts + INTERVAL 24 HOUR AS end_ts
+      FROM events WHERE event_type = 'error')
+SELECT c.user_id, COUNT(*) AS n_pairs,
+  CAST(COUNT(DISTINCT c.event_id) AS BIGINT) AS n_clicks_in_incident,
+  CAST(COUNT(DISTINCT i.incident_id) AS BIGINT) AS n_active_incidents
+FROM c JOIN i ON i.user_id = c.user_id
+  AND c.ts BETWEEN i.start_ts AND i.end_ts
+GROUP BY 1
+"""
+
+
 QUERIES_X = {
     "median_gap": q_median_gap,
     "asof_latest_signup": q_asof_latest_signup,
     "asof_next_purchase": q_asof_next_purchase,
+    "range_click_incidents": q_range_click_incidents,
     "sessionization": q_sessionization,
     "pivot_role_severity": q_pivot_role_severity,
     "rollup_role_style": q_rollup_role_style,
@@ -237,6 +282,7 @@ ORACLES_X = {
     "median_gap": O_MEDIAN_GAP,
     "asof_latest_signup": O_ASOF_LATEST_SIGNUP,
     "asof_next_purchase": O_ASOF_NEXT_PURCHASE,
+    "range_click_incidents": O_RANGE_CLICK_INCIDENTS,
     "sessionization": O_SESSIONIZATION,
     "pivot_role_severity": O_PIVOT_ROLE_SEVERITY,
     "rollup_role_style": O_ROLLUP_ROLE_STYLE,

@@ -1,0 +1,84 @@
+"""Bucketized range join: exact equivalence with the brute-force
+BETWEEN cross join (inclusive bounds, multi-bucket spans, overlapping
+intervals, empty/inverted intervals), left-outer retention, and the
+no-nested-loop plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from otel_logger_spark.functions.rangejoin import range_join
+
+
+def _data(spark, seed=3, n_p=300, n_i=60, key_space=6, t_max=10_000):
+    rng = np.random.RandomState(seed)
+    pts = [
+        (int(i), int(rng.randint(key_space)), int(rng.randint(t_max)))
+        for i in range(n_p)
+    ]
+    ivs = []
+    for j in range(n_i):
+        s = int(rng.randint(t_max))
+        # mix of sub-bucket, multi-bucket, zero-length and inverted spans
+        ln = int(rng.choice([0, 50, 500, 5000, -100]))
+        ivs.append((int(j), int(rng.randint(key_space)), s, s + ln))
+    points = spark.createDataFrame(pts, "pid long, k long, t long")
+    intervals = spark.createDataFrame(ivs, "iid long, k long, s long, e long")
+    return points, intervals
+
+
+def _brute(points, intervals):
+    return (
+        points.crossJoin(intervals.withColumnRenamed("k", "k2"))
+        .filter(
+            (F.col("k") == F.col("k2"))
+            & (F.col("t") >= F.col("s"))
+            & (F.col("t") <= F.col("e"))
+        )
+        .select("pid", "iid")
+    )
+
+
+@pytest.mark.parametrize("width", [64, 1000, 100_000])
+def test_range_join_equals_brute_force(spark, width):
+    points, intervals = _data(spark)
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "t", "s", "e", by=["k"], bucket_width_us=width
+        ).collect()
+    }
+    exp = {(r["pid"], r["iid"]) for r in _brute(points, intervals).collect()}
+    assert got == exp and exp  # non-trivial fixture
+
+
+def test_range_join_left_keeps_uncontained_points(spark):
+    points, intervals = _data(spark, seed=9)
+    out = range_join(
+        points, intervals, "t", "s", "e", by=["k"],
+        bucket_width_us=1000, how="left",
+    )
+    pairs = {(r["pid"], r["iid"]) for r in out.collect()}
+    exp_pairs = {(r["pid"], r["iid"]) for r in _brute(points, intervals).collect()}
+    matched_pids = {p for p, _ in exp_pairs}
+    all_pids = {r["pid"] for r in points.collect()}
+    assert {p for p, i in pairs if i is not None} == matched_pids
+    assert {p for p, i in pairs if i is None} == all_pids - matched_pids
+    # every point appears; matched points appear once per containment
+    assert len(pairs) == len(exp_pairs) + len(all_pids - matched_pids)
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    points, intervals = _data(spark, n_p=50, n_i=10)
+    plan = (
+        range_join(points, intervals, "t", "s", "e", by=["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_bad_how_raises(spark):
+    points, intervals = _data(spark, n_p=5, n_i=2)
+    with pytest.raises(ValueError, match="how"):
+        range_join(points, intervals, "t", "s", "e", how="full")

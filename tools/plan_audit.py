@@ -91,6 +91,17 @@ COMMENT = {
         "pure codegen filter (multiplicative-hash threshold) over the "
         "scan + one aggregate exchange; the sampling predicate needs no "
         "shuffle and no UDF."),
+    "asof_latest_signup": (
+        "as-of join as union + carry-forward window: ONE exchange on the "
+        "by key feeds a single incremental Window — no join operator at "
+        "all, no range explosion. The same shuffle an equi-join would "
+        "cost, whatever the interval density."),
+    "range_click_incidents": (
+        "bucketized interval join: intervals explode to their overlapped "
+        "buckets, points keep one bucket, the containment pairs come from "
+        "a shuffled equi-join on (user_id, bucket) + an exact filter — "
+        "never BroadcastNestedLoop/CartesianProduct (test-asserted). "
+        "Bucket width ~ interval length keeps the explode factor O(1)."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -132,7 +143,13 @@ def main():
         "training_mix": QT.q_training_mix(spark, sf_dir),
     }
     from otel_logger_spark.operators.skew import conversation_metrics_salted
+    from otel_logger_spark.queries_extra import (
+        q_asof_latest_signup,
+        q_range_click_incidents,
+    )
 
+    dfs["asof_latest_signup"] = q_asof_latest_signup(spark, sf_dir)
+    dfs["range_click_incidents"] = q_range_click_incidents(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

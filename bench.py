@@ -112,6 +112,11 @@ def main():
         run("dedup_minhash", lambda: QT.q_minhash_pairs(spark, sf_dir).count())
         run("embedding_topk", lambda: QT.q_embedding_topk(spark, sf_dir).collect())
         run("text_quality", lambda: QT.q_text_quality(spark, sf_dir).collect())
+
+        from otel_logger_spark import queries_extra as QX
+
+        run("asof_latest_signup", lambda: QX.q_asof_latest_signup(spark, sf_dir).count())
+        run("range_click_incidents", lambda: QX.q_range_click_incidents(spark, sf_dir).collect())
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -21,11 +21,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _regressions_vs_previous(timings: dict, threshold: float = 0.10) -> dict:
+def _regressions_vs_previous(
+    timings: dict, threshold: float = 0.10, min_delta_sec: float = 0.3
+) -> dict:
     """Compare this run's per-query seconds to the newest BENCH_r{N}.json
     driver artifact; return {"vs": file, "flagged": {query: {prev, now,
-    pct}}} ({"vs": None} on a first run). Comparable runs only: a different
-    sf would flag everything, so mismatched sf skips the diff, saying so."""
+    pct}}} ({"vs": None} on a first run). A query flags only when BOTH the
+    relative (>10%) and absolute (>0.3 s) deltas trip: sub-second queries
+    jitter +-0.2 s run-to-run on this box, and flagging a different one
+    each run would train readers to ignore the field — the floor keeps the
+    guard aimed at the class it exists for (round 3's +0.56 s
+    full_pipeline slip). Comparable runs only: a different sf would flag
+    everything, so mismatched sf skips the diff, saying so."""
     import glob
     import re
 
@@ -54,7 +61,7 @@ def _regressions_vs_previous(timings: dict, threshold: float = 0.10) -> dict:
     flagged = {}
     for name, now in timings.items():
         was = (prev.get("queries") or {}).get(name)
-        if was and now > was * (1 + threshold):
+        if was and now > was * (1 + threshold) and now - was > min_delta_sec:
             flagged[name] = {
                 "prev": was,
                 "now": now,

@@ -94,8 +94,10 @@ COMMENT = {
     "asof_latest_signup": (
         "as-of join as union + carry-forward window: ONE exchange on the "
         "by key feeds a single incremental Window — no join operator at "
-        "all, no range explosion. The same shuffle an equi-join would "
-        "cost, whatever the interval density."),
+        "all, no range explosion (the second exchange in this plan is the "
+        "gate query's own (user_id, ts) pre-aggregate that enforces the "
+        "right side's uniqueness contract). The same shuffle an equi-join "
+        "would cost, whatever the interval density."),
     "range_click_incidents": (
         "bucketized interval join: intervals explode to their overlapped "
         "buckets, points keep one bucket, the containment pairs come from "

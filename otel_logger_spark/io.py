@@ -41,3 +41,32 @@ def write_table(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> N
         df.writeTo(path_or_table).createOrReplace()
     else:
         df.write.mode(mode).saveAsTable(path_or_table)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | tuple[str, ...] = ("conv_id",),
+    n_buckets: int = 64,
+    sort_cols: list[str] | tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join/
+    aggregation key — the storage-level half of the one-shuffle design: two
+    tables bucketed the same way join with ZERO exchanges on either side
+    (asserted by tests/test_io.py::test_bucketed_join_is_exchange_free),
+    and a groupBy on the bucket key skips its shuffle too. At the 100 TB
+    target this is how repeated conv_id joins (transcripts x metrics x
+    routed sinks) amortize the partitioning ONCE at write time instead of
+    re-shuffling per query — the parquet/V1 stand-in for Iceberg's
+    ``bucket(N, conv_id)`` partition spec mentioned in README. Spark only
+    honors bucket metadata through the catalog (``saveAsTable``), so this
+    takes a table name, not a path."""
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(int(n_buckets), *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

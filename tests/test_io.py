@@ -55,3 +55,44 @@ def test_path_branch_stays_parquet(spark, tmp_path):
     p = str(tmp_path / "io_path.parquet")
     io.write_table(df, p)
     assert io.read_table(spark, p).count() == 4
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The storage-level half of the one-shuffle design: two tables
+    bucketed identically on conv_id must join with ZERO exchanges on
+    either side (SortMergeJoin straight over the bucketed scans), and a
+    groupBy on the key must also skip its shuffle — bucketing amortizes
+    the partitioning once at write time."""
+    from pyspark.sql import functions as F
+
+    turns = spark.range(0, 2000).select(
+        F.concat(F.lit("c"), (F.col("id") % 97)).alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+    )
+    metrics = spark.range(0, 97).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        (F.col("id") * 10).alias("score"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        io.write_bucketed(turns, "t_bktd_turns", ["conv_id"], 8)
+        io.write_bucketed(metrics, "t_bktd_metrics", ["conv_id"], 8)
+        a = spark.table("t_bktd_turns")
+        b = spark.table("t_bktd_metrics")
+        joined = a.join(b, "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # row-correctness of the exchange-free plan
+        assert joined.count() == 2000
+        # aggregation on the bucket key: no shuffle either
+        agg_plan = (
+            a.groupBy("conv_id").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bktd_turns")
+        spark.sql("DROP TABLE IF EXISTS t_bktd_metrics")

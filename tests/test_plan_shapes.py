@@ -1,0 +1,118 @@
+"""Plan-shape regression pins: the claims BENCH/PLANS.md documents —
+exchange counts, join strategies, no-Python-in-JVM-paths — as ENFORCED
+invariants. A refactor that introduces an extra shuffle, turns a
+broadcast into a shuffled join, or drops a pushed filter fails here
+instead of silently shipping a slower plan.
+
+Bounds are <= (upper bounds), not ==: AQE or version drift may REMOVE
+work, which should pass; only added work fails. All shapes are taken at
+sf0.001 — plan structure is scale-invariant for these queries (that's
+the point), and the scan is cheap."""
+
+import pytest
+
+from otel_logger_spark.plans.audit import shape
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def shapes(spark):
+    from otel_logger_spark import queries as Q
+    from otel_logger_spark import queries_extra as QX
+    from otel_logger_spark import queries_training as QT
+    from otel_logger_spark.operators.skew import conversation_metrics_salted
+    from otel_logger_spark.pipeline import build_parsed
+    from otel_logger_spark.synth import synthesize_pandas
+
+    routed = build_parsed(
+        spark.createDataFrame(synthesize_pandas(20, seed=5))
+    )
+    return {
+        "routed": shape(routed),
+        "training_mix": shape(QT.q_training_mix(spark, SF)),
+        "embedding_topk": shape(QT.q_embedding_topk(spark, SF)),
+        "region_rollup": shape(Q.q_region_rollup(spark, SF)),
+        "asof": shape(QX.q_asof_latest_signup(spark, SF)),
+        "salted": shape(conversation_metrics_salted(Q._routed(spark, SF))),
+        # plain scan, not load_corpus (whose under-split-input normalizer
+        # adds its own repartition): this pins the OPERATOR's shape
+        "signatures": shape(
+            __import__(
+                "otel_logger_spark.functions.dedup", fromlist=["minhash_signatures"]
+            ).minhash_signatures(
+                spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+            )
+        ),
+    }
+
+
+def test_routed_pipeline_single_conv_exchange(shapes):
+    """The whole parse->enrich->route plan: ONE exchange (conv_id, reused
+    by the coalesce window), both enrichments as expressions (no join
+    operator), and exactly the parse UDF's Arrow stages."""
+    s = shapes["routed"]
+    assert s["exchanges"] <= 1
+    assert s["joins"] == []
+    assert s["python_stages"] <= 2
+
+
+def test_training_mix_is_pure_filter_plus_one_aggregate(shapes):
+    s = shapes["training_mix"]
+    assert s["exchanges"] <= 1
+    assert s["joins"] == []
+    assert s["python_stages"] == 0
+
+
+def test_embedding_topk_corpus_never_shuffles(shapes):
+    """Corpus side stays in place: the query side broadcasts (no SMJ /
+    shuffled join), the only exchange is the rank window's tiny key."""
+    s = shapes["embedding_topk"]
+    assert all(j == "BroadcastNestedLoopJoin" or "Broadcast" in j for j in s["joins"])
+    assert "SortMergeJoin" not in s["joins"]
+    assert "ShuffledHashJoin" not in s["joins"]
+    assert s["exchanges"] <= 1
+    assert s["python_stages"] == 0
+
+
+def test_region_rollup_broadcasts_dimensions(shapes):
+    """Dimension chain broadcasts onto the fact scan — the fact side never
+    shuffles before the rollup aggregate."""
+    s = shapes["region_rollup"]
+    assert s["joins"] and all("Broadcast" in j for j in s["joins"])
+    assert s["exchanges"] <= 1
+
+
+def test_asof_has_no_join_operator(shapes):
+    """The as-of operator itself is union + window: no join operator in
+    the plan at all; exchanges are the by-key window plus the gate
+    query's right-side uniqueness pre-aggregate."""
+    s = shapes["asof"]
+    assert s["joins"] == []
+    assert s["exchanges"] <= 2
+    assert s["python_stages"] == 0
+
+
+def test_salted_rollup_two_aggregate_exchanges(shapes):
+    """Extreme-skew path: (conv_id, salt) then (conv_id) — exactly the
+    two-phase shape, nothing more."""
+    s = shapes["salted"]
+    assert s["exchanges"] <= 3  # two aggregate phases + routed's conv_id
+    assert s["joins"] == []
+
+
+def test_minhash_signatures_shuffle_free_projection(shapes):
+    """Signatures are a pure per-row projection (array_min over transform)
+    — zero exchanges, zero joins, zero Python."""
+    s = shapes["signatures"]
+    assert s["exchanges"] == 0
+    assert s["joins"] == []
+    assert s["python_stages"] == 0
+
+
+def test_scans_are_column_pruned(shapes):
+    """Pushdown evidence: the training-mix scan reads only its two used
+    columns, never the documents table's text payload."""
+    scans = shapes["training_mix"]["scans"]
+    assert scans, "expected a parquet scan in the plan"
+    assert all("text" not in s.get("ReadSchema", "") for s in scans)

@@ -10,48 +10,12 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
-import contextlib
-import io
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def formatted_plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
-def condense(plan: str) -> dict:
-    scans = []
-    for m in re.finditer(r"\(\d+\) Scan parquet ?(\S*)\n((?:.+\n)+?)\n", plan):
-        block = m.group(2)
-        entry = {"table": m.group(1) or "(path)"}
-        for key in ("ReadSchema", "PushedFilters", "Location"):
-            km = re.search(rf"{key}: (.+)", block)
-            if km:
-                v = km.group(1)
-                if key == "Location":
-                    v = v.split("/")[-1].rstrip("]")
-                entry[key] = v[:160]
-        scans.append(entry)
-    joins = re.findall(
-        r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
-        r"BroadcastNestedLoopJoin|CartesianProduct)", plan)
-    return {
-        "scans": scans,
-        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
-        # NB: codegen-span ids are not rendered in AQE's pre-execution
-        # formatted plan, so they are deliberately NOT reported here —
-        # "0 spans" would be misleading; python_stages counts the
-        # operators that are genuinely outside codegen by construction
-        "joins": joins,
-        "python_stages": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
-    }
+from otel_logger_spark.plans.audit import condense, formatted_plan  # noqa: E402
 
 
 COMMENT = {

@@ -1,0 +1,119 @@
+"""Compaction: no rows lost, file counts shrink, already-compact dirs are
+left alone, crash windows recover, failed verifies leave the source
+untouched."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_logger_spark.fsio import HadoopFS
+from otel_logger_spark.operators.compact import (
+    TMP_SUFFIX,
+    compact_parquet_dir,
+    compact_streaming_sink,
+    recover_compaction,
+)
+
+
+def _fragmented(spark, path, n_rows=10_000, n_files=40):
+    spark.range(0, n_rows).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(n_files).write.parquet(path)
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    _fragmented(spark, path)
+    res = compact_parquet_dir(spark, path, target_file_bytes=512 * 1024 * 1024)
+    assert res["n_rows"] == 10_000
+    assert res["files_before"] == 40
+    assert res["files_after"] < 40
+    df = spark.read.parquet(path)
+    assert df.count() == 10_000
+    # values intact, not just counts
+    assert df.agg(F.sum("k")).collect()[0][0] == sum(range(10_000))
+    assert not os.path.exists(path + TMP_SUFFIX)
+
+
+def test_compact_noop_when_already_compact(spark, tmp_path):
+    path = str(tmp_path / "ok")
+    spark.range(0, 100).repartition(1).write.parquet(path)
+    before = sorted(os.listdir(path))
+    res = compact_parquet_dir(spark, path)
+    assert res["files_before"] == res["files_after"] == 1
+    assert sorted(os.listdir(path)) == before  # untouched, no rewrite
+
+
+def test_compact_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between delete and rename leaves a verified tmp and no
+    target; the next compaction (or recover_compaction) must finish the
+    rename with zero row loss."""
+    path = str(tmp_path / "crash")
+    _fragmented(spark, path, n_rows=500, n_files=4)
+    fs = HadoopFS(spark, path)
+    # simulate: a completed rewrite sits in tmp, the target was deleted
+    spark.read.parquet(path).repartition(1).write.parquet(path + TMP_SUFFIX)
+    fs._fs.delete(fs._p(path), True)
+    assert recover_compaction(spark, path) is True
+    assert spark.read.parquet(path).count() == 500
+    # and a stale tmp next to an INTACT target is just removed
+    spark.read.parquet(path).write.parquet(path + TMP_SUFFIX)
+    assert recover_compaction(spark, path) is False
+    assert not fs.exists(path + TMP_SUFFIX)
+    assert spark.read.parquet(path).count() == 500
+
+
+def test_compact_failed_verify_leaves_source(spark, tmp_path, monkeypatch):
+    """If the rewrite's footer count disagrees with the source, the source
+    must be left byte-for-byte intact and the bad tmp removed."""
+    import otel_logger_spark.operators.compact as C
+
+    path = str(tmp_path / "badverify")
+    _fragmented(spark, path, n_rows=1000, n_files=8)
+
+    real = C.parquet_partition_lineage
+    calls = {"n": 0}
+
+    def lying(spark_, p):
+        parts = real(spark_, p)
+        calls["n"] += 1
+        if p.endswith(TMP_SUFFIX):  # corrupt the tmp's count only
+            parts = parts[:-1]
+        return parts
+
+    monkeypatch.setattr(C, "parquet_partition_lineage", lying)
+    with pytest.raises(RuntimeError, match="verify failed"):
+        compact_parquet_dir(spark, path, target_file_bytes=512 * 1024 * 1024)
+    monkeypatch.undo()
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + TMP_SUFFIX)
+
+
+def test_compact_streaming_sink_collapses_batch_dirs(spark, tmp_path):
+    """The real streaming layout: many batchid=<id> partitions collapse to
+    few files; batchid survives as a column with identical per-batch
+    counts."""
+    out = str(tmp_path / "sink_out")
+    base = spark.range(0, 900).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("batch")
+    )
+    for b in range(9):
+        base.filter(F.col("k") % 9 == b).drop("batch").repartition(3).write.parquet(
+            os.path.join(out, "logs", f"batchid={b}")
+        )
+    before = spark.read.parquet(os.path.join(out, "logs"))
+    per_batch_before = {
+        r["batchid"]: r["n"]
+        for r in before.groupBy("batchid").agg(F.count("*").alias("n")).collect()
+    }
+    res = compact_streaming_sink(spark, out, "logs")
+    assert res["n_rows"] == 900
+    assert res["files_after"] < res["files_before"]
+    after = spark.read.parquet(os.path.join(out, "logs"))
+    assert "batchid" in after.columns
+    per_batch_after = {
+        r["batchid"]: r["n"]
+        for r in after.groupBy("batchid").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_batch_after == per_batch_before

@@ -113,6 +113,41 @@ def test_asof_unmatched_left_rows_kept(spark):
     assert fwd == {1: 7, 2: None}
 
 
+def test_asof_multi_column_by_key(spark):
+    rng = np.random.RandomState(17)
+    lpdf = pd.DataFrame({
+        "k1": rng.randint(0, 3, 200),
+        "k2": rng.choice(["x", "y"], 200),
+        "t": rng.randint(0, 300, 200).astype("int64"),
+        "lv": np.arange(200, dtype="int64"),
+    })
+    rpdf = pd.DataFrame({
+        "k1": rng.randint(0, 3, 50),
+        "k2": rng.choice(["x", "y"], 50),
+        "t": rng.randint(0, 300, 50).astype("int64"),
+        "rv": np.arange(50, dtype="int64"),
+    }).drop_duplicates(["k1", "k2", "t"])
+    left = _mk(spark, lpdf.to_dict("records"), "k1 long, k2 string, t long, lv long")
+    right = _mk(spark, rpdf.to_dict("records"), "k1 long, k2 string, t long, rv long")
+    got = (
+        asof_join(left, right, on="t", by=["k1", "k2"])
+        .select("lv", "rv").toPandas().sort_values("lv").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("t"), rpdf.sort_values("t"), on="t",
+        by=["k1", "k2"], direction="backward",
+    ).sort_values("lv").reset_index(drop=True)
+    assert list(got["rv"].fillna(-1)) == list(exp["rv"].fillna(-1))
+
+
+def test_asof_empty_right_side(spark):
+    left = _mk(spark, [("a", 5, 1), ("b", 9, 2)], "k string, t long, lv int")
+    right = _mk(spark, [], "k string, t long, rv int")
+    rows = asof_join(left, right, on="t", by=["k"]).collect()
+    assert sorted(r["lv"] for r in rows) == [1, 2]
+    assert all(r["rv"] is None and r["t_r"] is None for r in rows)
+
+
 def test_asof_bad_direction_raises(spark):
     left = _mk(spark, [("a", 1, 1)], "k string, t long, lv int")
     with pytest.raises(ValueError, match="direction"):

@@ -117,3 +117,30 @@ def test_compact_streaming_sink_collapses_batch_dirs(spark, tmp_path):
         for r in after.groupBy("batchid").agg(F.count("*").alias("n")).collect()
     }
     assert per_batch_after == per_batch_before
+
+
+def test_maintenance_cli_compact_and_expire(spark, tmp_path, capsys):
+    """The maintenance CLI wires both operators and prints the JSON audit
+    report (in-process: get_spark reuses the session fixture)."""
+    import json
+
+    from otel_logger_spark.maintenance import main
+
+    path = str(tmp_path / "m_frag")
+    _fragmented(spark, path, n_rows=2000, n_files=16)
+    assert main(["compact", path, "--target-file-mb", "512"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_rows"] == 2000 and rep["files_after"] < rep["files_before"]
+
+    dated = str(tmp_path / "m_dated")
+    from datetime import datetime
+
+    rows = [(f"c{j}", datetime(2024, 1, d, 8, 0, 0)) for d in (2, 20) for j in range(5)]
+    df = spark.createDataFrame(rows, "conv_id string, event_ts timestamp")
+    df.withColumn("event_date", F.to_date("event_ts")).write.partitionBy(
+        "event_date"
+    ).parquet(dated)
+    assert main(["expire", dated, "--before", "2024-01-10"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [e["n_rows"] for e in rep["expired"]] == [5]
+    assert rep["kept"] == ["2024-01-20"]

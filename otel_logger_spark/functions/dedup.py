@@ -71,19 +71,35 @@ def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Word n-gram shingles (distinct per doc)."""
+    """Word n-gram shingles (distinct per doc).
+
+    The shingle array is staged behind a value-neutral NONDETERMINISTIC
+    guard (``spark_partition_id() >= -1`` — always true) for two measured
+    reasons, both Catalyst alias-substitution effects:
+    - downstream ``filter(size(shingles) > 0)`` would otherwise be pushed
+      (with the ENTIRE split/transform/distinct chain inlined) into the
+      parquet scan — which on a narrow input runs BELOW the loader's
+      fan-out repartition, executing the heaviest projection in the
+      pipeline at the scan's parallelism (measured: 3 tasks on 32 cores
+      at sf0.1) and then recomputing it post-exchange anyway;
+    - every downstream reference (the 32 signature hash folds, the verify
+      joins, the filter) would re-inline the chain per reference (no CSE
+      across expressions); the guard makes CollapseProject keep ONE
+      materialized shingles column instead.
+    Measured 5.4 -> ~3.9 s on the sf0.1 minhash gate; values unchanged
+    (the guard is identity), every oracle still hash-matches."""
+    shingle_expr = F.array_distinct(
+        # NB: Spark's sequence(1, 0) yields a DESCENDING [1,0] — guard
+        # short docs explicitly instead of clamping with greatest()
+        F.expr(
+            f"CASE WHEN size(words) >= {n} THEN "
+            f"transform(sequence(1, size(words) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(words, i, {n})))"
+            f" ELSE array() END"
+        )
+    )
     return with_words(df, text_col).withColumn(
-        "shingles",
-        F.array_distinct(
-            # NB: Spark's sequence(1, 0) yields a DESCENDING [1,0] — guard
-            # short docs explicitly instead of clamping with greatest()
-            F.expr(
-                f"CASE WHEN size(words) >= {n} THEN "
-                f"transform(sequence(1, size(words) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(words, i, {n})))"
-                f" ELSE array() END"
-            )
-        ),
+        "shingles", F.when(F.spark_partition_id() >= -1, shingle_expr)
     )
 
 

@@ -130,20 +130,23 @@ def corpus_sql() -> str:
     return _CORPUS
 
 
-def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    df = spark.sql(_CORPUS)
-    # Normalize under-split inputs: the test corpus is one small parquet
-    # file unioned 3x, so the scan yields 3 partitions and every heavy
-    # downstream projection (shingling, 32-seed hashing) would run 3-wide
-    # on a 32-core cluster. A 100 TB corpus has thousands of natural
-    # splits and skips this branch entirely — the repartition exists only
-    # for inputs narrower than the cluster, where shuffling the (small by
-    # definition) corpus is cheaper than idling most executors.
-    target = spark.sparkContext.defaultParallelism
+def fan_out_if_narrow(df: DataFrame) -> DataFrame:
+    """Normalize under-split inputs: a one-file gate table scans as 1-3
+    partitions, so every heavy downstream projection (shingling, 32-seed
+    hashing, per-doc regex chains, cosine folds) would run that narrow on
+    a 32-core cluster. A 100 TB table has thousands of natural splits and
+    skips this branch entirely — the repartition exists only for inputs
+    narrower than the cluster, where shuffling the (small by definition)
+    input is cheaper than idling most executors."""
+    target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df
+
+
+def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return fan_out_if_narrow(spark.sql(_CORPUS))
 
 
 def corpus_cte() -> str:

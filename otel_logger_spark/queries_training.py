@@ -155,7 +155,10 @@ def q_training_mix(spark, sf_dir):
     all select the exact same rows."""
     from otel_logger_spark.functions.sampling import stratified_sample
 
-    docs = _load_documents(spark, sf_dir)
+    # plain read, NOT _load_documents: the sampling predicate is a pure
+    # codegen filter that belongs at the scan — a fan-out repartition
+    # would move every row to drop most of them
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = stratified_sample(
         docs,
         rates={"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.0},
@@ -242,10 +245,15 @@ def _o_simhash_pairs() -> str:
 
 
 def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every consumer runs heavy per-row work (cosine/hyperplane folds
+    over the whole corpus), so narrow gate inputs fan out here — a real
+    table's natural splits skip the branch (graftdata.fan_out_if_narrow)."""
+    from otel_logger_spark.graftdata import fan_out_if_narrow
+
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
         "embeddings"
     )
-    return spark.table("embeddings")
+    return fan_out_if_narrow(spark.table("embeddings"))
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -343,7 +351,13 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Fans out narrow gate inputs: the consumers run per-doc regex
+    chains, rolling-hash pandas UDFs, or mapInPandas decodes — all CPU
+    per row, all serial on a one-file scan. The one cheap consumer
+    (training_mix, a pure codegen filter) reads plainly instead."""
+    from otel_logger_spark.graftdata import fan_out_if_narrow
+
+    return fan_out_if_narrow(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_lang_id(spark, sf_dir):

@@ -66,12 +66,17 @@ def test_training_mix_is_pure_filter_plus_one_aggregate(shapes):
 
 def test_embedding_topk_corpus_never_shuffles(shapes):
     """Corpus side stays in place: the query side broadcasts (no SMJ /
-    shuffled join), the only exchange is the rank window's tiny key."""
+    shuffled join); exchanges are the rank window's tiny key plus, at
+    gate scale only, the loader's under-split fan-out (a one-file input
+    would otherwise run the cosine folds on 1 of N cores — a real table's
+    natural splits skip that branch)."""
     s = shapes["embedding_topk"]
     assert all(j == "BroadcastNestedLoopJoin" or "Broadcast" in j for j in s["joins"])
     assert "SortMergeJoin" not in s["joins"]
     assert "ShuffledHashJoin" not in s["joins"]
-    assert s["exchanges"] <= 1
+    # rank-window key + the loader fan-out appearing on both derived
+    # sides of the self-referential corpus/query split
+    assert s["exchanges"] <= 3
     assert s["python_stages"] == 0
 
 

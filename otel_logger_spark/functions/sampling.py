@@ -58,6 +58,38 @@ def sample_key_py(i: int) -> int:
     return (f * KNUTH_MULT) % _KEY_SPACE
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_milli_col: str,
+    base_rate: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-ROW deterministic Bernoulli sample with probability
+    min(1, base_rate * weight/1000) — quality-weighted corpus mixing
+    (keep high-quality documents at a higher rate) with the same
+    guarantees as stratified_sample: no rand() (identical keeps under
+    task retry / resume), and every operation in INTEGER arithmetic so
+    the DuckDB oracle reproduces the keep set bit-for-bit (a float
+    threshold would hit libm/rounding divergence across engines).
+
+    keep iff  key(id) * 10^6  <  floor(base_rate*1000) * w_milli * 2^32
+    — the threshold comparison CROSS-MULTIPLIED so there is no division
+    anywhere (division is where float rounding would creep in): LHS
+    < 2^32 * 10^6 ~ 4.3e15 and RHS <= 1000 * 10^6 * 2^32 ~ 4.3e18, both
+    exact in int64, and probabilities >= 1 saturate automatically (the
+    RHS exceeds every possible LHS — the min(1, .) cap for free).
+    Weights are integer milli-units (text.with_quality's quality_milli);
+    weights above 10^6 milli (probability factor 1000x) must pre-scale
+    to keep the RHS in range."""
+    import math
+
+    br_milli = math.floor(base_rate * 1000)
+    w = F.col(weight_milli_col).cast("long")
+    lhs = sample_key(F.col(id_col)) * F.lit(1_000_000)
+    rhs = F.lit(br_milli) * w * F.lit(_KEY_SPACE)
+    return df.filter(lhs < rhs)
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -195,6 +195,47 @@ FROM keyed WHERE k < thr GROUP BY 1
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling: keep each document with
+    probability 0.6 * quality_milli/1000 — the corpus-mixing primitive
+    that upweights high-quality text. Division-free integer comparison
+    (functions/sampling.weighted_sample), so the oracle re-derives the
+    exact keep set: quality score and sample key both recomputed in SQL."""
+    from otel_logger_spark.functions.sampling import weighted_sample
+
+    docs = with_quality(_load_documents(spark, sf_dir))
+    kept = weighted_sample(docs, "quality_milli", base_rate=0.6)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("quality_milli").alias("sum_quality_milli"),
+    )
+
+
+def _o_weighted_sample() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    (SELECT {_ALL_MARKERS_SQL} FROM (SELECT ' ' || text || ' ' AS p)) AS n_stopwords
+  FROM documents),
+q AS (SELECT doc_id, source,
+  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 400 ELSE 0 END
+   + least(CAST(FLOOR(1000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT), 300)
+   + CAST(FLOOR(FLOOR(1000 * n_alpha / greatest(n_chars, 1)) * 300 / 1000) AS BIGINT)
+  ) AS quality_milli FROM d),
+keyed AS (
+  SELECT source, doc_id, quality_milli,
+    (((f % 65536) * 2654435761) % 4294967296
+     + (((f // 65536) * 2654435761) % 65536) * 65536) % 4294967296 AS k
+  FROM (SELECT *, xor(doc_id % 4294967296, doc_id // 4294967296) AS f FROM q))
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+  CAST(SUM(quality_milli) AS BIGINT) AS sum_quality_milli
+FROM keyed WHERE k * 1000000 < 600 * quality_milli * 4294967296 GROUP BY 1
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """LSH-accelerated near-dup, now ORACLE-CHECKED against the exact
     n-gram Jaccard enumeration (the embedding_near_dup pattern): the
@@ -490,6 +531,7 @@ QUERIES_C = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_two_phase": q_dedup_clusters_two_phase,
     "training_mix": q_training_mix,
+    "weighted_sample": q_weighted_sample,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
@@ -509,6 +551,7 @@ ORACLES_C = {
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "dedup_clusters_two_phase": O_DEDUP_CLUSTERS,
     "training_mix": O_TRAINING_MIX,
+    "weighted_sample": _o_weighted_sample(),
     "minhash_pairs": O_MINHASH_PAIRS,
     "simhash_pairs": _o_simhash_pairs(),
     "embedding_topk": O_EMBEDDING_TOPK,

@@ -443,6 +443,39 @@ def test_stratified_sample_deterministic(spark):
     assert quarter <= half
 
 
+def test_weighted_sample_semantics(spark):
+    """keep probability = min(1, rate * w/1000): weight 0 keeps nothing,
+    saturated weights keep everything, keep-rate tracks the weight, and
+    the keep set is the integer cross-multiplication's exactly."""
+    from otel_logger_spark.functions.sampling import (
+        sample_key_py,
+        weighted_sample,
+    )
+
+    rows = [(i, [0, 250, 500, 1000, 5000][i % 5]) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = {
+        r["doc_id"] for r in weighted_sample(df, "w", base_rate=0.8).collect()
+    }
+    exp = {
+        i for i, w in rows if sample_key_py(i) * 1_000_000 < 800 * w * (1 << 32)
+    }
+    assert kept == exp
+    by_w = {w: 0 for _, w in rows}
+    for i in kept:
+        by_w[rows[i][1]] += 1
+    assert by_w[0] == 0                    # probability 0: nothing kept
+    assert by_w[5000] == 1000              # saturated (>= 1): everything
+    assert 100 < by_w[250] < 300           # ~0.2 of 1000
+    assert 300 < by_w[500] < 500           # ~0.4 of 1000
+    assert 700 < by_w[1000] < 900          # ~0.8 of 1000
+    # rate-monotone subset property (same key, larger thresholds)
+    kept_low = {
+        r["doc_id"] for r in weighted_sample(df, "w", base_rate=0.4).collect()
+    }
+    assert kept_low <= kept
+
+
 def test_sample_key_overflow_free_large_ids(spark):
     """The naive id*2654435761 overflows int64 for id > 3.47e9 — Spark
     would wrap negative and KEEP rows in rate-0 strata while the DuckDB

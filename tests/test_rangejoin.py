@@ -82,3 +82,17 @@ def test_range_join_bad_how_raises(spark):
     points, intervals = _data(spark, n_p=5, n_i=2)
     with pytest.raises(ValueError, match="how"):
         range_join(points, intervals, "t", "s", "e", how="full")
+
+
+def test_range_join_keyless(spark):
+    """by=() — pure time containment, no equi-key: still exact vs brute
+    force (the bucket join alone carries the match)."""
+    points, intervals = _data(spark, seed=21, key_space=1)
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "t", "s", "e", by=[], bucket_width_us=500
+        ).collect()
+    }
+    exp = {(r["pid"], r["iid"]) for r in _brute(points, intervals).collect()}
+    assert got == exp and exp

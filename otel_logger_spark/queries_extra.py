@@ -267,8 +267,27 @@ GROUP BY 1
 """
 
 
+def q_log_templates(spark, sf_dir):
+    """Template mining over rendered log lines: mask uuid/hex/ip/number,
+    count occurrences and distinct conversations per template — the
+    'top log statements' table (functions/templates.py). Oracle replays
+    the identical regexp_replace chain in DuckDB's RE2."""
+    from otel_logger_spark.functions.templates import template_counts
+    from otel_logger_spark.graftdata import load_events_lines
+
+    return template_counts(load_events_lines(spark, sf_dir))
+
+
+def _o_log_templates() -> str:
+    from otel_logger_spark.functions.templates import template_counts_sql
+    from otel_logger_spark.graftdata import lines_cte
+
+    return template_counts_sql(lines_cte())
+
+
 QUERIES_X = {
     "median_gap": q_median_gap,
+    "log_templates": q_log_templates,
     "asof_latest_signup": q_asof_latest_signup,
     "asof_next_purchase": q_asof_next_purchase,
     "range_click_incidents": q_range_click_incidents,
@@ -280,6 +299,7 @@ QUERIES_X = {
 
 ORACLES_X = {
     "median_gap": O_MEDIAN_GAP,
+    "log_templates": _o_log_templates(),
     "asof_latest_signup": O_ASOF_LATEST_SIGNUP,
     "asof_next_purchase": O_ASOF_NEXT_PURCHASE,
     "range_click_incidents": O_RANGE_CLICK_INCIDENTS,

@@ -659,3 +659,39 @@ def test_simhash_oracle_equals_spark(spark):
             for a, b, h in con.sql(simhash_pairs_oracle(corpus_cte())).fetchall()
         }
         assert got == want and got
+
+
+def test_log_template_masking_goldens_and_duckdb_parity(spark):
+    """Masking rules against handcrafted lines, plus cross-engine dialect
+    parity: the same patterns must behave identically under Java regex
+    (Spark) and RE2 (DuckDB) on adversarial inputs — that equivalence is
+    what makes the gate oracle valid."""
+    import duckdb
+
+    from otel_logger_spark.functions.templates import (
+        TEMPLATE_RULES,
+        with_template,
+    )
+
+    cases = {
+        "GET /api/v2/items/12345 took 87ms": "GET /api/v<n>/items/<n> took <n>ms",
+        "conn from 10.0.12.3:8080 dropped": "conn from <ip> dropped",
+        "trace 6f1e4b2a-9c0d-4e8f-a12b-3c4d5e6f7a8b spans 7":
+            "trace <uuid> spans <n>",
+        "ptr 0xDEADbeef at offset 42": "ptr <hex> at offset <n>",
+        "no variables here": "no variables here",
+        "999.999.999.999 still shaped like an ip": "<ip> still shaped like an ip",
+        "1.2.3.4.5 five octets": "<ip>.<n> five octets",
+        "0x without digits stays": "<n>x without digits stays",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r["text"]: r["template"] for r in with_template(df).collect()}
+    assert got == cases
+    # DuckDB replays the identical chain on the identical inputs
+    con = duckdb.connect()
+    for raw, expected in cases.items():
+        expr = "t"
+        for pat, repl in TEMPLATE_RULES:
+            expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+        (dv,) = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [raw]).fetchone()
+        assert dv == expected, raw

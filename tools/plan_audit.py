@@ -68,6 +68,16 @@ COMMENT = {
         "a shuffled equi-join on (user_id, bucket) + an exact filter — "
         "never BroadcastNestedLoop/CartesianProduct (test-asserted). "
         "Bucket width ~ interval length keeps the explode factor O(1)."),
+    "log_templates": (
+        "template mining is a pure codegen regexp_replace chain over the "
+        "scan + one aggregate exchange on the (low-cardinality) template "
+        "key — the cheapest possible shape for a top-log-statements "
+        "table at any scale."),
+    "weighted_sample": (
+        "quality-weighted sampling: the weight comes from the quality "
+        "regex chain (fanned out for narrow inputs), the keep decision is "
+        "a division-free integer comparison inside codegen, one aggregate "
+        "exchange. No UDF, no rand()."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -114,8 +124,13 @@ def main():
         q_range_click_incidents,
     )
 
+    from otel_logger_spark.queries_extra import q_log_templates
+    from otel_logger_spark.queries_training import q_weighted_sample
+
     dfs["asof_latest_signup"] = q_asof_latest_signup(spark, sf_dir)
     dfs["range_click_incidents"] = q_range_click_incidents(spark, sf_dir)
+    dfs["log_templates"] = q_log_templates(spark, sf_dir)
+    dfs["weighted_sample"] = q_weighted_sample(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

@@ -7,13 +7,25 @@ Prints ONE JSON line:
 The flagship number is the end-to-end pipeline (parse -> enrich -> route ->
 aggregate -> sink writes) over transcripts constructed from the events
 table; turns/sec is included for the BASELINE.md protocol.
+
+Noise protocol (round 5): single-pass timings on this box drift up to
++-25% with host/page-cache state (BENCH/NOISE.md) — the round-4 official
+artifact shipped a contended window that contradicted the repo's own
+measured claims and flagged four phantom regressions. So the suite now
+runs $SPARK_GRAFT_BENCH_RUNS (default 3) full passes, INTERLEAVED at the
+pass level (every query sees the same cache drift trajectory, the same
+discipline as the A/B sweeps in BENCH/NOISE.md), and reports the per-query
+MEDIAN as the headline with the min/max spread alongside. The regression
+guard compares medians to medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -21,20 +33,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _sf_from_dir(sf_dir: str) -> str | None:
+    """Scale-factor label from a testdata dir: the TRAILING path component
+    must look like sf<digits[.digits]> — anchored, so an 'sf' elsewhere in
+    the path (/data/sfx/runs) can never mis-parse. None = unknown (callers
+    must skip comparisons rather than guess). Shared by main() and the
+    regression guard so the two can't drift apart."""
+    m = re.search(r"sf(\d+(?:\.\d+)?)/*$", sf_dir)
+    return m.group(1) if m else None
+
+
 def _regressions_vs_previous(
     timings: dict, threshold: float = 0.10, min_delta_sec: float = 0.3
 ) -> dict:
-    """Compare this run's per-query seconds to the newest BENCH_r{N}.json
-    driver artifact; return {"vs": file, "flagged": {query: {prev, now,
-    pct}}} ({"vs": None} on a first run). A query flags only when BOTH the
-    relative (>10%) and absolute (>0.3 s) deltas trip: sub-second queries
-    jitter +-0.2 s run-to-run on this box, and flagging a different one
-    each run would train readers to ignore the field — the floor keeps the
-    guard aimed at the class it exists for (round 3's +0.56 s
-    full_pipeline slip). Comparable runs only: a different sf would flag
-    everything, so mismatched sf skips the diff, saying so."""
+    """Compare this run's per-query MEDIAN seconds to the newest
+    BENCH_r{N}.json driver artifact; return {"vs": file, "flagged":
+    {query: {prev, now, pct}}} ({"vs": None} on a first run). A query
+    flags only when BOTH the relative (>10%) and absolute (>0.3 s) deltas
+    trip: sub-second queries jitter +-0.2 s run-to-run on this box, and
+    flagging a different one each run would train readers to ignore the
+    field — the floor keeps the guard aimed at the class it exists for
+    (round 3's +0.56 s full_pipeline slip). Comparable runs only: a
+    different sf would flag everything, so a mismatched or unparseable sf
+    skips the diff, saying so."""
     import glob
-    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     arts = []
@@ -50,9 +72,8 @@ def _regressions_vs_previous(
             prev = json.load(f).get("parsed") or {}
     except (OSError, ValueError):
         return {"vs": os.path.basename(newest), "error": "unreadable", "flagged": {}}
-    sf_now = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf_now = sf_now.rstrip("/").split("sf")[-1]
-    if str(prev.get("sf")) != str(sf_now):
+    sf_now = _sf_from_dir(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    if sf_now is None or str(prev.get("sf")) != str(sf_now):
         return {
             "vs": os.path.basename(newest),
             "skipped": f"sf mismatch (prev {prev.get('sf')}, now {sf_now})",
@@ -73,9 +94,12 @@ def _regressions_vs_previous(
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    sf = _sf_from_dir(sf_dir) or os.path.basename(sf_dir.rstrip("/"))
 
     from otel_logger_spark import queries as Q
+    from otel_logger_spark import queries_extra as QX
+    from otel_logger_spark import queries_training as QT
     from otel_logger_spark.operators.rollups import conversation_metrics
     from otel_logger_spark.operators.sinks import write_routed_sinks
     from otel_logger_spark.session import get_spark
@@ -83,68 +107,71 @@ def main():
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
+    # per-query second samples across passes, insertion-ordered
+    samples: dict[str, list[float]] = {}
 
     def run(name, fn):
         t0 = time.monotonic()
         fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples.setdefault(name, []).append(round(time.monotonic() - t0, 3))
 
     # warm the JVM + Python workers once (not timed)
     Q.q_parse_severity_counts(spark, sf_dir).collect()
 
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
-    out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
-    try:
-        # flagship: full pipeline incl. fan-out sink writes
-        def full_pipeline():
-            routed = Q._routed(spark, sf_dir)
-            write_routed_sinks(
-                routed, conversation_metrics(routed), out_dir, run_id="bench"
-            )
+    def one_pass():
+        out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
+        try:
+            # flagship: full pipeline incl. fan-out sink writes
+            def full_pipeline():
+                routed = Q._routed(spark, sf_dir)
+                write_routed_sinks(
+                    routed, conversation_metrics(routed), out_dir, run_id="bench"
+                )
 
-        run("full_pipeline", full_pipeline)
-        run("parse_severity_counts", lambda: Q.q_parse_severity_counts(spark, sf_dir).collect())
-        run("multiline_entry_stats", lambda: Q.q_multiline_entry_stats(spark, sf_dir).collect())
-        run("conversation_rollup", lambda: Q.q_conversation_rollup(spark, sf_dir).collect())
-        run("window_turn_rollup", lambda: Q.q_window_turn_rollup(spark, sf_dir).collect())
-        run("flush_window_counts", lambda: Q.q_flush_window_counts(spark, sf_dir).collect())
-        run("pricing_summary", lambda: Q.q_pricing_summary(spark, sf_dir).collect())
-        run("top_revenue_orders", lambda: Q.q_top_revenue_orders(spark, sf_dir).collect())
-        run("region_rollup", lambda: Q.q_region_rollup(spark, sf_dir).collect())
+            run("full_pipeline", full_pipeline)
+            run("parse_severity_counts", lambda: Q.q_parse_severity_counts(spark, sf_dir).collect())
+            run("multiline_entry_stats", lambda: Q.q_multiline_entry_stats(spark, sf_dir).collect())
+            run("conversation_rollup", lambda: Q.q_conversation_rollup(spark, sf_dir).collect())
+            run("window_turn_rollup", lambda: Q.q_window_turn_rollup(spark, sf_dir).collect())
+            run("flush_window_counts", lambda: Q.q_flush_window_counts(spark, sf_dir).collect())
+            run("pricing_summary", lambda: Q.q_pricing_summary(spark, sf_dir).collect())
+            run("top_revenue_orders", lambda: Q.q_top_revenue_orders(spark, sf_dir).collect())
+            run("region_rollup", lambda: Q.q_region_rollup(spark, sf_dir).collect())
+            run("dedup_minhash", lambda: QT.q_minhash_pairs(spark, sf_dir).count())
+            run("embedding_topk", lambda: QT.q_embedding_topk(spark, sf_dir).collect())
+            run("text_quality", lambda: QT.q_text_quality(spark, sf_dir).collect())
+            run("asof_latest_signup", lambda: QX.q_asof_latest_signup(spark, sf_dir).count())
+            run("range_click_incidents", lambda: QX.q_range_click_incidents(spark, sf_dir).collect())
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
-        from otel_logger_spark import queries_training as QT
+    for _ in range(n_passes):
+        one_pass()
 
-        run("dedup_minhash", lambda: QT.q_minhash_pairs(spark, sf_dir).count())
-        run("embedding_topk", lambda: QT.q_embedding_topk(spark, sf_dir).collect())
-        run("text_quality", lambda: QT.q_text_quality(spark, sf_dir).collect())
-
-        from otel_logger_spark import queries_extra as QX
-
-        run("asof_latest_signup", lambda: QX.q_asof_latest_signup(spark, sf_dir).count())
-        run("range_click_incidents", lambda: QX.q_range_click_incidents(spark, sf_dir).collect())
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
-
-    total = round(sum(timings.values()), 3)
+    medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    spread = {n: {"min": min(v), "max": max(v)} for n, v in samples.items()}
+    total = round(sum(medians.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "passes": n_passes,
+        "spread": spread,
         "sf": sf,
         "cpus": cpus,
         "n_turns": n_turns,
-        "pipeline_turns_per_sec": round(n_turns / timings["full_pipeline"], 1),
+        "pipeline_turns_per_sec": round(n_turns / medians["full_pipeline"], 1),
     }
-    # regression guard: diff per-query timings against the newest recorded
+    # regression guard: diff per-query MEDIANS against the newest recorded
     # driver artifact (BENCH_r{N}.json) so a slowdown can never ship
     # unremarked — the round-3 full_pipeline +14% went unnoticed because
-    # nothing compared rounds automatically. Flag >10% slowdowns; the
-    # disclosed 32-core run-to-run spread is ~13%, so single flags near the
-    # threshold are WATCH items, repeated flags are real.
-    out["regressions"] = _regressions_vs_previous(timings)
+    # nothing compared rounds automatically. Flag >10% slowdowns; medians
+    # of interleaved passes make a phantom flag need the host to be slow
+    # for the MAJORITY of the session, not one unlucky window.
+    out["regressions"] = _regressions_vs_previous(medians)
     # attach the north-rule scaling measurement if tools/bench_scaling.py has
     # produced one (BENCH/scaling.json; protocol in BENCH/BASELINE.md)
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

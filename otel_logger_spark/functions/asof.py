@@ -58,6 +58,25 @@ def asof_join(
     lcols = left.columns
     carried = {c: (c + suffix if c in lcols else c) for c in rvals}
     on_r = on + suffix
+    # internal/output name collisions fail LOUDLY up front: a left column
+    # named `_side` (the union tag) or equal to an output carry name
+    # (on+suffix, or a suffixed right value column) would otherwise produce
+    # duplicate/ambiguous columns deep in the union-window plan
+    reserved = {"_side", on_r} | set(carried.values())
+    clash = sorted(reserved & set(lcols))
+    if clash:
+        raise ValueError(
+            f"asof_join internal/output names collide with left columns "
+            f"{clash}; rename them or pass a different suffix ({suffix!r})"
+        )
+    out_names = ["_side", on_r] + list(carried.values())
+    if len(set(out_names)) != len(out_names):
+        dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+        raise ValueError(
+            f"asof_join suffixed right columns collide with each other or "
+            f"with internal names {dupes}; rename them or pass a different "
+            f"suffix ({suffix!r})"
+        )
 
     rt = right.select(
         *by,

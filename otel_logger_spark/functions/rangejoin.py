@@ -68,24 +68,23 @@ def range_join(
             )
         ),
     )
-    cond = [pt["_pb"] == iv["_ib"]] + [pt[c] == iv[c] for c in by]
     contained = (_time_us(pt, point_col) >= _time_us(iv, start_col)) & (
         _time_us(pt, point_col) <= _time_us(iv, end_col)
     )
+    cond = pt["_pb"] == iv["_ib"]
+    for c in by:
+        cond = cond & (pt[c] == iv[c])
+    cond = cond & contained
     out_cols = [pt[c] for c in points.columns] + [
         iv[c] for c in intervals.columns if c not in by
     ]
-    matched = pt.join(iv, cond).filter(contained).select(*out_cols)
-    if how == "inner":
-        return matched
-    # left: re-attach never-contained points. NB a left_anti on the
-    # (bucket, by) equi-keys alone would be wrong (a point sharing a bucket
-    # with a non-containing interval would be dropped); the anti condition
-    # is containment itself, so derive the unmatched set from the matches.
-    marker = matched.select(*[F.col(c) for c in points.columns]).distinct()
-    unmatched = points.join(marker, points.columns, "left_anti")
-    for c in [c for c in intervals.columns if c not in by]:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(intervals.schema[c].dataType)
-        )
-    return matched.unionByName(unmatched)
+    # ONE join for both modes: containment lives in the join CONDITION (the
+    # equi keys still drive the shuffle/hash; BETWEEN evaluates inside the
+    # join), so ``left`` is a plain left-outer — never-contained points come
+    # back once with NULL interval columns directly from the join operator.
+    # The previous formulation ran the bucketized join TWICE for how="left"
+    # (matched + a distinct() marker anti-join) and that anti-join compared
+    # every point column null-UNSAFELY, re-emitting matched rows carrying a
+    # NULL payload column. Single-join = single execution, no row identity
+    # comparison at all.
+    return pt.join(iv, cond, how).select(*out_cols)

@@ -78,13 +78,36 @@ def weighted_sample(
     < 2^32 * 10^6 ~ 4.3e15 and RHS <= 1000 * 10^6 * 2^32 ~ 4.3e18, both
     exact in int64, and probabilities >= 1 saturate automatically (the
     RHS exceeds every possible LHS — the min(1, .) cap for free).
-    Weights are integer milli-units (text.with_quality's quality_milli);
-    weights above 10^6 milli (probability factor 1000x) must pre-scale
-    to keep the RHS in range."""
+    Weights are integer milli-units (text.with_quality's quality_milli).
+
+    Overflow ENFORCEMENT (not just documentation): in non-ANSI Spark an
+    RHS past 2^63-1 wraps NEGATIVE and silently drops every row in that
+    stratum. So weights are clamped with ``least`` to the largest value
+    whose RHS stays in int64. The clamp is SATURATION-EXACT, never a
+    probability distortion: it can only trigger once br_milli * w exceeds
+    ~2^31 milli^2, i.e. a keep probability over ~2000 — far past the
+    min(1, .) saturation point, where every key already passes. base_rate
+    itself is bounded so the clamped RHS still exceeds every possible LHS
+    (insane rates fail loudly instead of quietly keeping everything)."""
     import math
 
     br_milli = math.floor(base_rate * 1000)
+    if br_milli < 0:
+        raise ValueError(f"base_rate must be >= 0: {base_rate!r}")
+    if br_milli > 0:
+        # largest weight whose RHS = br_milli * w * 2^32 fits in int64
+        max_w = (2**63 - 1) // (br_milli * _KEY_SPACE)
+        if br_milli * max_w < 1_000_000:
+            # clamped RHS below the saturation ceiling (possible only for
+            # base_rate past ~2e6): the clamp would alter sub-saturation
+            # probabilities — a caller bug, so fail loudly
+            raise ValueError(
+                f"base_rate {base_rate!r} too large: clamping weights to "
+                f"{max_w} milli could alter sub-saturation probabilities"
+            )
     w = F.col(weight_milli_col).cast("long")
+    if br_milli > 0:
+        w = F.least(w, F.lit(max_w))
     lhs = sample_key(F.col(id_col)) * F.lit(1_000_000)
     rhs = F.lit(br_milli) * w * F.lit(_KEY_SPACE)
     return df.filter(lhs < rhs)

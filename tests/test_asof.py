@@ -166,3 +166,29 @@ def test_asof_single_exchange_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_internal_name_collisions_raise(spark):
+    """Round-5 guard (ADVICE r04): left columns named `_side` or colliding
+    with an output carry name (on+suffix / suffixed right value) must fail
+    loudly instead of producing ambiguous columns."""
+    right = spark.createDataFrame([(1, 10, "a")], "user_id long, ts long, v string")
+    for lschema in (
+        "user_id long, ts long, _side long",
+        "user_id long, ts long, ts_r long",
+        "user_id long, ts long, v string, v_r string",
+    ):
+        left = spark.createDataFrame([], lschema)
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right, on="ts", by=["user_id"])
+
+
+def test_asof_suffixed_right_self_collision_raises(spark):
+    """Right columns that collide with each other AFTER suffixing (right
+    has v and v_r while left has v) also fail loudly."""
+    left = spark.createDataFrame([(1, 10, "l")], "user_id long, ts long, v string")
+    right = spark.createDataFrame(
+        [(1, 5, "a", "b")], "user_id long, ts long, v string, v_r string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="ts", by=["user_id"])

@@ -695,3 +695,25 @@ def test_log_template_masking_goldens_and_duckdb_parity(spark):
             expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
         (dv,) = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [raw]).fetchone()
         assert dv == expected, raw
+
+
+def test_weighted_sample_overflow_guard(spark):
+    """Round-5 guard (ADVICE r04): a weight whose RHS would exceed int64
+    (wrapping negative in non-ANSI Spark and silently dropping the whole
+    stratum) is clamped saturation-exactly — such a weight implies keep
+    probability >> 1, so everything must be KEPT; and an insane base_rate
+    that would make the clamp lossy raises."""
+    import pytest as _pytest
+
+    from otel_logger_spark.functions.sampling import weighted_sample
+
+    big_w = 10**13  # RHS = 800 * 1e13 * 2^32 >> 2^63: wrapped before
+    df = spark.createDataFrame(
+        [(i, big_w) for i in range(100)], "doc_id long, w long"
+    )
+    kept = weighted_sample(df, "w", base_rate=0.8).count()
+    assert kept == 100  # probability saturates at 1: every row kept
+    with _pytest.raises(ValueError, match="base_rate"):
+        weighted_sample(df, "w", base_rate=3e6)
+    with _pytest.raises(ValueError, match="base_rate"):
+        weighted_sample(df, "w", base_rate=-0.1)

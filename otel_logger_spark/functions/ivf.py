@@ -26,6 +26,25 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.transform(vec_col, lambda x: x.cast("double")))
 
 
+def lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> list[list[float]]:
+    """The driver-side Lloyd iteration, isolated so the DuckDB oracle
+    (oracles_ivf.py) runs the IDENTICAL numpy operation sequence on an
+    INDEPENDENTLY-derived copy of the training sample: centroids are then
+    parameters shared bit-for-bit by engine and oracle, and everything
+    downstream (assignment, probing, distance, top-k) is re-derived in
+    pure SQL."""
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(0)
+    return cents.tolist()
+
+
 def train_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -60,16 +79,7 @@ def train_centroids(
         .collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
-    for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for c in range(len(cents)):
-            m = x[assign == c]
-            if len(m):
-                cents[c] = m.mean(0)
-    return cents.tolist()
+    return lloyd(x, k, iters, seed)
 
 
 def _nearest_centroid_cols(vec_col: str, centroids: list[list[float]], n: int = 1):

@@ -102,8 +102,13 @@ O_ROLLUP_ROLE_STYLE = (
 
 
 def q_approx_distinct(spark, sf_dir):
-    """approx_count_distinct per role (rows-only: approximation differs by
-    engine; pytest bounds its error against the exact count)."""
+    """approx_count_distinct per role, now ORACLE-CHECKED: Spark's HLL++
+    sketch is deterministic, and at gate cardinalities it takes the linear
+    counting branch — round(m*ln(m/V)) over the m=512 registers indexed by
+    the top 9 bits of xxhash64(conv_id) — which oracles_hll.py re-derives
+    bit-for-bit on the repo's DuckDB XXH64. The exact column rides along;
+    pytest additionally pins the estimator across cardinalities and the
+    HLL relative error bound."""
     from otel_logger_spark.graftdata import load_events_transcripts
 
     t = load_events_transcripts(spark, sf_dir)
@@ -111,6 +116,12 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("conv_id").alias("approx_convs"),
         F.countDistinct("conv_id").alias("exact_convs"),
     )
+
+
+def _o_approx_distinct() -> str:
+    from otel_logger_spark.oracles_hll import approx_distinct_by_role_oracle
+
+    return approx_distinct_by_role_oracle(transcripts_cte())
 
 
 def q_median_gap(spark, sf_dir):
@@ -306,4 +317,5 @@ ORACLES_X = {
     "sessionization": O_SESSIONIZATION,
     "pivot_role_severity": O_PIVOT_ROLE_SEVERITY,
     "rollup_role_style": O_ROLLUP_ROLE_STYLE,
+    "approx_distinct": _o_approx_distinct(),
 }

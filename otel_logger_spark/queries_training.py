@@ -379,13 +379,34 @@ def _o_ann_lsh_topk() -> str:
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN (rows-only gate; pytest measures recall and
-    index determinism)."""
+    """IVF coarse-quantizer ANN, now ORACLE-CHECKED: training is fully
+    deterministic (hash-threshold sample + seeded numpy Lloyd), so the
+    oracle re-derives the sample independently (DuckDB + pure-Python
+    XXH64), runs the shared Lloyd, and embeds the centroids as SQL
+    literals — assignment, probing, exact cosine and top-k re-derived in
+    DuckDB with the identical IEEE double op sequence (oracles_ivf.py).
+    pytest additionally measures recall vs the exact top-k."""
     from otel_logger_spark.functions.ivf import ivf_topk
 
     emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+
+
+def _o_ann_ivf_topk() -> str | None:
+    """Centroids depend on the corpus, so the generator reads the gate's
+    own input (the driver compares at sf0.01; SPARK_GRAFT_ORACLE_SF_DIR
+    overrides for local checks at another SF). Returns None — rows-only
+    fallback — if the table is absent."""
+    import os
+
+    from otel_logger_spark.oracles_ivf import ivf_topk_oracle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    return ivf_topk_oracle(path, k=5, n_clusters=16, n_probe=4, dim=64, seed=42)
 
 
 # --- text analysis ---------------------------------------------------------------
@@ -562,3 +583,7 @@ ORACLES_C = {
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "multimodal_decode": O_MULTIMODAL_DECODE,
 }
+
+_IVF_ORACLE = _o_ann_ivf_topk()
+if _IVF_ORACLE is not None:
+    ORACLES_C["ann_ivf_topk"] = _IVF_ORACLE

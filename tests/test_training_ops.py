@@ -200,6 +200,95 @@ def test_ivf_ann_recall(spark, emb):
     assert len(a1) == emb.count()
 
 
+def test_python_xxh64_matches_spark_long_int(spark):
+    """oracles_ivf replicates Spark's xxhash64 on a LongType column chained
+    with an IntegerType literal — the training-sample key. Bit parity here
+    underwrites the IVF oracle's independent sample derivation."""
+    from otel_logger_spark.oracles_ivf import spark_sample_key, xxh64_long
+
+    ids = [0, 1, -1, 7, 2**40 + 3, -(2**55), 123456789, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id: long")
+    rows = df.select(
+        "vec_id",
+        F.xxhash64("vec_id").alias("h"),
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(42)), F.lit(1 << 30)).alias("pm"),
+    ).collect()
+    for r in rows:
+        u = xxh64_long(r["vec_id"], 42)
+        assert (u - (1 << 64) if u >= (1 << 63) else u) == r["h"]
+        assert spark_sample_key(r["vec_id"], 42) == r["pm"]
+
+
+def test_hll_linear_counting_formula_matches_spark(spark):
+    """Pins the oracles_hll.py derivation against Spark itself: at
+    relativeSD 0.05 (p=9, m=512), approx_count_distinct equals
+    floor(512*ln(512/V) + 0.5) where V counts registers untouched by the
+    top-9-bits-of-xxhash64 index — for every cardinality in the linear
+    regime (up to ~2.5*m). Uses Spark's own hash so the formula and the
+    DuckDB XXH64 are pinned independently."""
+    import math
+
+    for n in [1, 5, 150, 500, 1200]:
+        df = spark.createDataFrame(
+            [("conv-%06d" % i,) for i in range(n)], "s: string"
+        )
+        row = df.agg(
+            F.approx_count_distinct("s").alias("a"),
+            F.countDistinct(
+                F.shiftrightunsigned(F.xxhash64("s"), 55)
+            ).alias("touched"),
+        ).collect()[0]
+        v = 512 - row["touched"]
+        assert row["a"] == math.floor(512 * math.log(512 / v) + 0.5), n
+
+
+def test_approx_distinct_oracle_end_to_end_sf0001(spark):
+    """Full oracle parity at a second SF (the driver gate runs sf0.01):
+    DuckDB HLL re-derivation == Spark approx_count_distinct, both columns."""
+    import duckdb
+
+    from otel_logger_spark.queries_extra import _o_approx_distinct, q_approx_distinct
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    exp = {tuple(r) for r in con.sql(_o_approx_distinct()).fetchall()}
+    got = {
+        (r["role"], r["approx_convs"], r["exact_convs"])
+        for r in q_approx_distinct(spark, SF).collect()
+    }
+    assert got == exp
+
+
+def test_ivf_oracle_training_and_topk_bitexact(spark, emb):
+    """The DuckDB-side training re-derivation (independent sample + shared
+    Lloyd) must produce the engine's exact centroids, and the full
+    generated oracle SQL must reproduce ivf_topk row-for-row — at a
+    DIFFERENT SF than the driver gate uses (sf0.001 here, sf0.01 there)."""
+    import duckdb
+
+    from otel_logger_spark.functions.ivf import ivf_topk, train_centroids
+    from otel_logger_spark.oracles_ivf import (
+        ivf_topk_oracle,
+        train_centroids_from_parquet,
+    )
+
+    path = f"{SF}/embeddings.parquet"
+    assert train_centroids(emb, k=16, seed=42) == train_centroids_from_parquet(
+        path, k=16, seed=42
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    exp = {tuple(r) for r in con.sql(
+        ivf_topk_oracle(path, k=5, n_clusters=16, n_probe=4)
+    ).fetchall()}
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["sim_micro"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4).collect()
+    }
+    assert got == exp
+
+
 def test_multimodal_resize_frames_features(spark, docs):
     from otel_logger_spark.functions.multimodal import (
         as_media, resize_media, sample_frames, extract_features,

@@ -47,6 +47,55 @@ def test_expire_deletes_only_pre_cutoff(spark, tmp_path):
     }
 
 
+def test_expire_small_table_audit_runs_zero_spark_jobs(spark, tmp_path):
+    """Multi-partition expiry on a small table must audit via ONE listing
+    + driver footer reads — zero Spark jobs, however many partitions
+    expire (the round-4 version ran one lineage pass PER partition)."""
+    path = str(tmp_path / "dated")
+    _dated_sink(spark, path, days=[1, 2, 3, 4, 5, 6, 13])
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "ttl-audit-probe")
+    try:
+        res = expire_partitions(spark, path, before=date(2024, 1, 10))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup("ttl-audit-probe") == [], (
+        "small-table TTL audit must not launch Spark jobs"
+    )
+    assert [e["n_rows"] for e in res["expired"]] == [10, 20, 30, 40, 50, 60]
+    assert spark.read.parquet(path).count() == 70
+
+
+def test_expire_big_table_audit_is_one_job_for_all_partitions(spark, tmp_path):
+    """Past the small-table threshold the audit is ONE distributed job
+    across ALL expired partitions (plus at most read-planning overhead),
+    not a job per partition — counts identical to the footer truth."""
+    path = str(tmp_path / "dated_big")
+    rows = []
+    for i, d in enumerate(range(1, 7)):
+        ts = datetime(2024, 1, d, 12, 0, 0)
+        rows += [(f"c{i}-{j}", ts) for j in range(40)]
+    df = spark.createDataFrame(rows, "conv_id string, event_ts timestamp")
+    (
+        df.withColumn("event_date", F.to_date("event_ts"))
+        .repartition(30, "conv_id")
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )  # ~30 files per date partition -> well past 2*64+4 total
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "ttl-audit-big")
+    try:
+        res = expire_partitions(spark, path, before=date(2024, 1, 6))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("ttl-audit-big"))
+    assert 1 <= n_jobs <= 3, f"expected one audit job (+planning), got {n_jobs}"
+    assert [e["n_rows"] for e in res["expired"]] == [40, 40, 40, 40, 40]
+    assert sum(e["n_files"] for e in res["expired"]) >= 5
+    assert res["kept"] == ["2024-01-06"]
+    assert spark.read.parquet(path).count() == 40
+
+
 def test_expire_noop_when_all_within_window(spark, tmp_path):
     path = str(tmp_path / "fresh")
     _dated_sink(spark, path, days=[20, 25])

@@ -29,7 +29,10 @@ import math
 from pyspark.sql import SparkSession
 
 from otel_logger_spark.fsio import HadoopFS
-from otel_logger_spark.operators.sinks import parquet_partition_lineage
+from otel_logger_spark.operators.sinks import (
+    SMALL_SINK_MAX_FILES,
+    parquet_partition_lineage,
+)
 
 TMP_SUFFIX = ".compact_tmp"
 
@@ -52,6 +55,40 @@ def recover_compaction(spark: SparkSession, path: str) -> bool:
     return True
 
 
+def _file_fingerprints(
+    spark: SparkSession, fs: HadoopFS, path: str
+) -> set[tuple[str, int]]:
+    """{(uri, byte length)} of every part file. Doubles as the
+    concurrent-writer change detector: an appended, replaced, or removed
+    part file changes the set.
+
+    Two-tier like the lineage primitive (one ContentSummary call decides):
+    small dirs use the driver RemoteIterator (statuses carry the lengths —
+    no per-file getFileStatus, but still one py4j round-trip per file);
+    big dirs — the compaction-worthy ones — use Spark's ``binaryFile``
+    reader with only (path, length) selected, so the recursive listing
+    runs JVM-side and no content bytes are read. Measured at 5,000 files:
+    31.6 s (iterator) -> 1.0-2.0 s (BENCH/compact_scale.md)."""
+    if fs.file_count(path) <= 2 * SMALL_SINK_MAX_FILES + 4:
+        it = fs._fs.listFiles(fs._p(path), True)
+        out = set()
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(".parquet"):
+                out.add((p, int(st.getLen())))
+        return out
+    rows = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "length")
+        .collect()
+    )
+    return {(r["path"], int(r["length"])) for r in rows}
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -62,18 +99,28 @@ def compact_parquet_dir(
     Returns {"n_rows", "files_before", "files_after", "recovered"}.
     No-op (beyond recovery) when the directory already meets the target
     file count — rewriting well-sized files would double the IO for
-    nothing."""
+    nothing.
+
+    Concurrency contract: the directory must have no ACTIVE writer (stop
+    the stream / pause the pipeline first) — compaction replaces the
+    directory wholesale, and rows written after the rewrite's scan cannot
+    be in the rewrite. The contract is ENFORCED, not assumed: part files
+    (name + length) are fingerprinted before the rewrite and re-listed
+    just before the swap; any change aborts with the source untouched and
+    the tmp removed. The unclosable residue is the recheck->delete instant
+    itself — the same window every non-transactional rewrite bottoms out
+    in (a table format closes it with commit-conflict retries)."""
     recovered = recover_compaction(spark, path)
     fs = HadoopFS(spark, path)
-    files = fs.list_files_recursive(path, ".parquet")
+    fps = _file_fingerprints(spark, fs, path)
+    files = sorted(p for p, _ in fps)
     if not files:
         return {"n_rows": 0, "files_before": 0, "files_after": 0,
                 "recovered": recovered}
-    # ONE gateway call for the byte total (marker/.crc bytes are noise at
-    # compaction-worthy sizes) — a per-file getFileStatus loop would be
-    # thousands of py4j round-trips on exactly the directories this
-    # operator exists for
-    total_bytes = int(fs._fs.getContentSummary(fs._p(path)).getLength())
+    # byte total straight from the listing statuses (exact part-file
+    # bytes; no ContentSummary call, no marker/.crc noise) — still zero
+    # per-file gateway round-trips
+    total_bytes = sum(length for _, length in fps)
     n_target = max(1, math.ceil(total_bytes / target_file_bytes))
     if len(files) <= n_target:
         return {"n_rows": sum(
@@ -98,6 +145,16 @@ def compact_parquet_dir(
         raise RuntimeError(
             f"compaction verify failed at {path}: source {src_rows} rows, "
             f"rewrite {tmp_rows} — source left untouched"
+        )
+    fps_now = _file_fingerprints(spark, fs, path)
+    if fps_now != fps:
+        fs._fs.delete(fs._p(tmp), True)
+        raise RuntimeError(
+            f"concurrent writer detected at {path}: "
+            f"{len(fps_now - fps)} part file(s) appeared and "
+            f"{len(fps - fps_now)} changed or vanished since the rewrite "
+            "began — compaction aborted, source left untouched (stop the "
+            "writer before compacting)"
         )
     fs._fs.delete(fs._p(path), True)
     fs._fs.rename(fs._p(tmp), fs._p(path))

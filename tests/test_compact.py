@@ -90,6 +90,79 @@ def test_compact_failed_verify_leaves_source(spark, tmp_path, monkeypatch):
     assert not os.path.exists(path + TMP_SUFFIX)
 
 
+def test_compact_aborts_on_concurrent_writer(spark, tmp_path, monkeypatch):
+    """A part file that appears between the rewrite's scan and the swap
+    must abort the compaction: source (including the late file) intact,
+    tmp removed, loud error. Round-4 silently dropped such rows."""
+    import shutil
+
+    import otel_logger_spark.operators.compact as C
+
+    path = str(tmp_path / "racy")
+    _fragmented(spark, path, n_rows=1000, n_files=8)
+    donor = str(tmp_path / "donor")
+    spark.range(0, 7).select(F.col("id").alias("k"), F.lit(0).alias("v")).coalesce(
+        1
+    ).write.parquet(donor)
+    late_src = next(
+        os.path.join(donor, f) for f in os.listdir(donor) if f.endswith(".parquet")
+    )
+
+    real = C.parquet_partition_lineage
+
+    def racing(spark_, p):
+        parts = real(spark_, p)
+        if p.endswith(TMP_SUFFIX):
+            # a concurrent writer lands a file while the tmp verify runs
+            shutil.copy(late_src, os.path.join(path, "part-late-writer.parquet"))
+        return parts
+
+    monkeypatch.setattr(C, "parquet_partition_lineage", racing)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        compact_parquet_dir(spark, path, target_file_bytes=512 * 1024 * 1024)
+    monkeypatch.undo()
+    assert not os.path.exists(path + TMP_SUFFIX)
+    assert spark.read.parquet(path).count() == 1007  # nothing lost, late row kept
+
+
+def test_compact_scale_rehearsal_5000_files(spark, tmp_path):
+    """The docstring's motivating case at real fan-out: ~5,000 micro-batch
+    files compact in ONE rewrite with a bounded number of Spark jobs
+    (lineage + rewrite + planning — never O(n_files) jobs) and no row
+    loss. Timings land in BENCH/compact_scale.md."""
+    import shutil
+    import time
+
+    path = str(tmp_path / "many")
+    donor = str(tmp_path / "donor5k")
+    spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    ).coalesce(1).write.parquet(donor)
+    src = next(
+        os.path.join(donor, f) for f in os.listdir(donor) if f.endswith(".parquet")
+    )
+    os.makedirs(path)
+    n_files = 5000
+    for i in range(n_files):
+        shutil.copy(src, os.path.join(path, f"part-{i:05d}-c000.snappy.parquet"))
+
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "compact-5k")
+    t0 = time.monotonic()
+    try:
+        res = compact_parquet_dir(spark, path, target_file_bytes=512 * 1024 * 1024)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    wall = time.monotonic() - t0
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("compact-5k"))
+    assert res["n_rows"] == 10 * n_files
+    assert res["files_before"] == n_files
+    assert res["files_after"] == 1
+    assert spark.read.parquet(path).count() == 10 * n_files
+    assert n_jobs <= 8, f"compaction must not scale jobs with file count: {n_jobs}"
+    print(f"\ncompact 5k files: {wall:.1f}s wall, {n_jobs} jobs")
+
+
 def test_compact_streaming_sink_collapses_batch_dirs(spark, tmp_path):
     """The real streaming layout: many batchid=<id> partitions collapse to
     few files; batchid survives as a column with identical per-batch

@@ -89,6 +89,81 @@ def test_stream_dedup_by_content_keys_on_digest(spark, tmp_path):
     assert "_content_sha" not in rows[0].asDict()  # helper column dropped
 
 
+def test_streaming_pipeline_with_dedup_four_sink_parity(spark, tmp_path):
+    """COMPOSED mode: run_streaming_pipeline(dedup='exact') under
+    redelivery (a later file re-sends a whole earlier file) must produce
+    EXACTLY the batch pipeline's four sinks on the clean input — logs /
+    error / tool_call row sets and the finalized conversation_metrics
+    rollup. At-least-once upstream becomes exactly-once sink rows."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from otel_logger_spark.functions.parse import with_parsed
+    from otel_logger_spark.operators.enrich import enrich_severity, enrich_tool
+    from otel_logger_spark.operators.rollups import conversation_metrics
+    from otel_logger_spark.operators.route import with_routing
+    from otel_logger_spark.streaming.pipeline import (
+        read_conversation_metrics,
+        run_streaming_pipeline,
+    )
+    from otel_logger_spark.synth import synthesize_pandas
+
+    in_dir = str(tmp_path / "din")
+    os.makedirs(in_dir)
+    pdf = synthesize_pandas(12, seed=11)[
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ]
+    for i in range(3):
+        pdf[pdf.index % 3 == i].to_parquet(
+            os.path.join(in_dir, f"part-{i}.parquet"), index=False
+        )
+    # redelivery: file 0 arrives again, byte-identical, as a later file
+    shutil.copy(
+        os.path.join(in_dir, "part-0.parquet"),
+        os.path.join(in_dir, "part-redelivered.parquet"),
+    )
+
+    out = str(tmp_path / "dout")
+    q = run_streaming_pipeline(
+        spark,
+        in_dir,
+        out,
+        str(tmp_path / "dckpt"),
+        available_now=True,
+        max_files_per_trigger=1,  # the redelivery lands in a LATER batch
+        dedup="exact",
+        dedup_horizon="365 days",
+    )
+    q.awaitTermination(300)
+
+    clean = spark.read.parquet(
+        *[os.path.join(in_dir, f"part-{i}.parquet") for i in range(3)]
+    ).filter(F.length("text") > 0)
+    routed = with_routing(enrich_tool(enrich_severity(with_parsed(clean))))
+    got_logs = spark.read.parquet(os.path.join(out, "logs"))
+    assert got_logs.count() == routed.count()
+    assert (
+        got_logs.select("conv_id", "turn_idx", "raw")
+        .exceptAll(routed.select("conv_id", "turn_idx", "raw"))
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(os.path.join(out, "error")).count()
+        == routed.filter("is_error").count()
+    )
+    assert (
+        spark.read.parquet(os.path.join(out, "tool_call")).count()
+        == routed.filter("is_tool_call").count()
+    )
+    final = read_conversation_metrics(spark, out)
+    expected = conversation_metrics(routed)
+    assert final.count() == expected.count()
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+
 def test_stream_dedup_matches_batch_dedup_on_synth(spark, tmp_path):
     """Streaming-vs-batch parity: the drained streaming dedup equals
     dropDuplicates on the same (duplicated) input."""

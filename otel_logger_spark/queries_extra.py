@@ -296,8 +296,32 @@ def _o_log_templates() -> str:
     return template_counts_sql(lines_cte())
 
 
+def q_rate_spikes(spark, sf_dir):
+    """Burst detection: hour buckets whose event count exceeds the
+    trailing-24h mean by >= 3 sample standard deviations, evaluated in
+    EXACT integer arithmetic over the dense per-role timeline
+    (operators/anomaly.py). The oracle replays the identical comparison
+    in HUGEINT."""
+    from otel_logger_spark.graftdata import load_events_transcripts
+    from otel_logger_spark.operators.anomaly import rate_spikes
+
+    t = load_events_transcripts(spark, sf_dir)
+    return rate_spikes(
+        t, ts_col="ts", group_cols=("role",), bucket_seconds=3600, trailing=24, z=3
+    )
+
+
+def _o_rate_spikes() -> str:
+    from otel_logger_spark.operators.anomaly import rate_spikes_oracle_sql
+
+    return rate_spikes_oracle_sql(
+        transcripts_cte(), bucket_seconds=3600, trailing=24, z=3
+    )
+
+
 QUERIES_X = {
     "median_gap": q_median_gap,
+    "rate_spikes": q_rate_spikes,
     "log_templates": q_log_templates,
     "asof_latest_signup": q_asof_latest_signup,
     "asof_next_purchase": q_asof_next_purchase,
@@ -310,6 +334,7 @@ QUERIES_X = {
 
 ORACLES_X = {
     "median_gap": O_MEDIAN_GAP,
+    "rate_spikes": _o_rate_spikes(),
     "log_templates": _o_log_templates(),
     "asof_latest_signup": O_ASOF_LATEST_SIGNUP,
     "asof_next_purchase": O_ASOF_NEXT_PURCHASE,

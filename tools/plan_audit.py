@@ -78,6 +78,12 @@ COMMENT = {
         "regex chain (fanned out for narrow inputs), the keep decision is "
         "a division-free integer comparison inside codegen, one aggregate "
         "exchange. No UDF, no rand()."),
+    "rate_spikes": (
+        "burst detection: the ONLY exchange that sees event volume is the "
+        "(role, bucket) count aggregate with map-side partials; the dense "
+        "timeline (sequence explode), zero-fill join and trailing window "
+        "all run on O(groups x span/bucket) rows. The z-score test is "
+        "pure integer codegen — no UDF, no float, no sqrt."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -131,6 +137,9 @@ def main():
     dfs["range_click_incidents"] = q_range_click_incidents(spark, sf_dir)
     dfs["log_templates"] = q_log_templates(spark, sf_dir)
     dfs["weighted_sample"] = q_weighted_sample(spark, sf_dir)
+    from otel_logger_spark.queries_extra import q_rate_spikes
+
+    dfs["rate_spikes"] = q_rate_spikes(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

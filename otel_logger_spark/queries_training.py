@@ -1,11 +1,10 @@
 """Training-data operator gates: dedup, similarity, text analysis,
-multimodal — queries() entries with DuckDB oracles throughout except the
-two legitimately engine-specific ops (ann_ivf_topk: iterative Lloyd
-training; approx_distinct: HLL), which stay rows-only with pytest
-cross-checks against exact ground truth. Everything seed-derived has a
+redaction, multimodal — queries() entries with DuckDB oracles THROUGHOUT
+(since round 5 nothing is rows-only). Everything engine-specific has a
 real oracle: XXH64 re-implemented in SQL (oracles_xxh64.py) for
 simhash/minhash, literal-embedded hyperplanes with bit-exact unrolled
-float arithmetic for the LSH ANN (oracles_lsh.py).
+float arithmetic for the LSH ANN (oracles_lsh.py), independent-sample +
+centroid-literal re-derivation for the IVF ANN (oracles_ivf.py).
 """
 
 from __future__ import annotations
@@ -530,6 +529,51 @@ FROM mins
 """
 
 
+# --- PII redaction -----------------------------------------------------------
+
+# Deterministic PII injection over documents, rendered for both dialects
+# (the synthetic corpus has no real PII; the construction rule IS the
+# ground truth — same pattern as graftdata's transcripts construction).
+_PII_CORPUS = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS {str}) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS {str}) || '.3.' || CAST(doc_id % 97 AS {str}) ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS {str}), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS {str}), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' call +1 (415) 555-' || lpad(CAST(doc_id % 10000 AS {str}), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 17 = 0 THEN ' token deadbeef' || lpad(CAST(doc_id % 100 AS {str}), 2, '0') || repeat('ab', 12) ELSE '' END
+  AS text
+FROM documents
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """Redaction audit over a deterministically PII-injected corpus: one
+    row per PII type with documents affected + total matches
+    (functions/redact.py — ordered Java/RE2-portable mask chain; counts
+    taken independently on the original text). The oracle replays the
+    identical construction and counting in DuckDB RE2."""
+    from otel_logger_spark.functions.redact import redaction_report
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    corpus = spark.sql(_PII_CORPUS.format(str="STRING"))
+    return redaction_report(corpus)
+
+
+def _o_pii_redaction() -> str:
+    from otel_logger_spark.functions.redact import redaction_report_sql
+
+    return redaction_report_sql(
+        "WITH corpus AS (" + _PII_CORPUS.format(str="VARCHAR") + ")"
+    )
+
+
+# --- multimodal --------------------------------------------------------------
+
+
 def q_multimodal_decode(spark, sf_dir):
     media = as_media(_load_documents(spark, sf_dir))
     return decode_media(media).select("doc_id", "kind", "n_bytes", "width", "height")
@@ -563,6 +607,7 @@ QUERIES_C = {
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "pii_redaction": q_pii_redaction,
 }
 
 ORACLES_C = {
@@ -582,6 +627,7 @@ ORACLES_C = {
     "text_quality": O_TEXT_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "multimodal_decode": O_MULTIMODAL_DECODE,
+    "pii_redaction": _o_pii_redaction(),
 }
 
 _IVF_ORACLE = _o_ann_ivf_topk()

@@ -490,6 +490,41 @@ FROM q GROUP BY 1
 """
 
 
+def q_pack_shards(spark, sf_dir):
+    """Sequence packing manifest (functions/packing.py): documents fill
+    1000-BPE-token shards within (source, doc_id % 4) streams —
+    concatenate-and-chunk semantics, exact integer window arithmetic,
+    re-derived identically in the oracle."""
+    from otel_logger_spark.functions.packing import pack_stats
+    from otel_logger_spark.functions.text import with_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = with_token_stats(docs)
+    return pack_stats(
+        toks, budget=1000, token_col="n_bpe_tokens",
+        order_col="doc_id", group_cols=("source",), n_buckets=4,
+    )
+
+
+O_PACK_SHARDS = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n, doc_id % 4 AS bucket,
+    SUM(n) OVER (PARTITION BY source, doc_id % 4 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+      AS start_offset
+  FROM toks)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+  CAST(start_offset // 1000 AS BIGINT) AS pack_id,
+  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1, 2, 3
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash fingerprints, now ORACLE-CHECKED: the winnowing-lite
     min-window polynomial hash is re-derived independently in DuckDB SQL
@@ -608,6 +643,7 @@ QUERIES_C = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "pii_redaction": q_pii_redaction,
+    "pack_shards": q_pack_shards,
 }
 
 ORACLES_C = {
@@ -628,6 +664,7 @@ ORACLES_C = {
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "pii_redaction": _o_pii_redaction(),
+    "pack_shards": O_PACK_SHARDS,
 }
 
 _IVF_ORACLE = _o_ann_ivf_topk()

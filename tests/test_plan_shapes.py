@@ -115,6 +115,42 @@ def test_minhash_signatures_shuffle_free_projection(shapes):
     assert s["python_stages"] == 0
 
 
+def test_rate_spikes_volume_touches_one_aggregate(spark):
+    """Burst detection: the event-volume data crosses exactly one
+    aggregate exchange (role, bucket counts with map-side partials);
+    the dense-timeline join broadcasts and nothing runs in Python. The
+    scan reads only the two columns the query derives from."""
+    from otel_logger_spark.queries_extra import q_rate_spikes
+
+    s = shape(q_rate_spikes(spark, SF))
+    assert s["python_stages"] == 0
+    assert "SortMergeJoin" not in s["joins"]
+    assert all("Broadcast" in j for j in s["joins"])
+    assert s["exchanges"] <= 4  # count agg + tiny span agg + window key
+    assert all("text" not in sc.get("ReadSchema", "") for sc in s["scans"])
+
+
+def test_pack_shards_two_exchanges_no_python(spark):
+    """Packing: one exchange for the (source, bucket) window streams, one
+    for the shard-manifest aggregate — integer window arithmetic only."""
+    from otel_logger_spark.queries_training import q_pack_shards
+
+    s = shape(q_pack_shards(spark, SF))
+    assert s["python_stages"] == 0
+    assert s["joins"] == []
+    assert s["exchanges"] <= 2
+
+
+def test_pii_redaction_no_python_no_joins(spark):
+    """The redaction report is regex codegen + a union-aggregate: no UDF,
+    no join operator anywhere."""
+    from otel_logger_spark.queries_training import q_pii_redaction
+
+    s = shape(q_pii_redaction(spark, SF))
+    assert s["python_stages"] == 0
+    assert s["joins"] == []
+
+
 def test_scans_are_column_pruned(shapes):
     """Pushdown evidence: the training-mix scan reads only its two used
     columns, never the documents table's text payload."""

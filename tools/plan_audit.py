@@ -84,6 +84,12 @@ COMMENT = {
         "timeline (sequence explode), zero-fill join and trailing window "
         "all run on O(groups x span/bucket) rows. The z-score test is "
         "pure integer codegen — no UDF, no float, no sqrt."),
+    "pack_shards": (
+        "sequence packing: ONE exchange for the (source, bucket) window "
+        "streams and one for the shard-manifest aggregate; the pack "
+        "assignment is an exclusive running sum + integer division inside "
+        "codegen. Bucketed streams keep the window parallel — a global "
+        "order would serialize on one partition."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -138,8 +144,10 @@ def main():
     dfs["log_templates"] = q_log_templates(spark, sf_dir)
     dfs["weighted_sample"] = q_weighted_sample(spark, sf_dir)
     from otel_logger_spark.queries_extra import q_rate_spikes
+    from otel_logger_spark.queries_training import q_pack_shards
 
     dfs["rate_spikes"] = q_rate_spikes(spark, sf_dir)
+    dfs["pack_shards"] = q_pack_shards(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

@@ -144,6 +144,9 @@ def main():
             run("text_quality", lambda: QT.q_text_quality(spark, sf_dir).collect())
             run("asof_latest_signup", lambda: QX.q_asof_latest_signup(spark, sf_dir).count())
             run("range_click_incidents", lambda: QX.q_range_click_incidents(spark, sf_dir).collect())
+            run("rate_spikes", lambda: QX.q_rate_spikes(spark, sf_dir).collect())
+            run("pii_redaction", lambda: QT.q_pii_redaction(spark, sf_dir).collect())
+            run("pack_shards", lambda: QT.q_pack_shards(spark, sf_dir).count())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

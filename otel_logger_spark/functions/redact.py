@@ -59,20 +59,17 @@ def redaction_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     total matches. A zero-row-delta redaction pass is verifiable from
     this plus the masked corpus alone."""
     red = with_redacted(df, text_col)
-    rows = [
-        red.select(
-            F.lit(name).alias("pii_type"),
-            (F.col(f"n_{name}") > 0).cast("long").alias("_hit"),
-            F.col(f"n_{name}").cast("long").alias("_n"),
-        )
-        for name, _, _ in PII_RULES
-    ]
-    union = rows[0]
-    for r in rows[1:]:
-        union = union.unionByName(r)
-    return union.groupBy("pii_type").agg(
-        F.sum("_hit").alias("n_docs"),
-        F.sum("_n").alias("n_matches"),
+    # stack(), not a union of per-type branches: Catalyst has no
+    # cross-branch CSE, so a 6-way union re-runs every regexp_count (and
+    # the scan) per branch — stack computes all counts in ONE pass and
+    # explodes 6 tiny rows per document
+    pairs = ", ".join(f"'{name}', n_{name}" for name, _, _ in PII_RULES)
+    stacked = red.select(
+        F.expr(f"stack({len(PII_RULES)}, {pairs}) AS (pii_type, _n)")
+    )
+    return stacked.groupBy("pii_type").agg(
+        F.sum((F.col("_n") > 0).cast("long")).alias("n_docs"),
+        F.sum(F.col("_n").cast("long")).alias("n_matches"),
     )
 
 

@@ -590,11 +590,15 @@ def q_pii_redaction(spark, sf_dir):
     taken independently on the original text). The oracle replays the
     identical construction and counting in DuckDB RE2."""
     from otel_logger_spark.functions.redact import redaction_report
+    from otel_logger_spark.graftdata import fan_out_if_narrow
 
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    corpus = spark.sql(_PII_CORPUS.format(str="STRING"))
+    # 12 regex passes per document are the heavy projection — fan out the
+    # one-file gate input so they run at full width (a real table's
+    # natural splits skip this branch)
+    corpus = fan_out_if_narrow(spark.sql(_PII_CORPUS.format(str="STRING")))
     return redaction_report(corpus)
 
 

@@ -6,6 +6,8 @@ pipeline CLI (cli.py):
         [--target-file-mb 512] [--sink logs --out <out_dir>]
     python -m otel_logger_spark.maintenance expire <dir> --before YYYY-MM-DD \
         [--partition-col event_date] [--dry-run]
+    python -m otel_logger_spark.maintenance zorder <dir> --cols a,b \
+        [--bits 16] [--target-file-mb 512]
 
 Both print a one-line JSON report (the audit trail: rows/files touched),
 mirroring cli.py's manifest-count output.
@@ -28,6 +30,12 @@ def main(argv=None):
     c.add_argument("path", help="parquet directory (or sink out_dir with --sink)")
     c.add_argument("--sink", default=None, help="sink name under PATH (streaming layout)")
     c.add_argument("--target-file-mb", type=int, default=512)
+
+    z = sub.add_parser("zorder", help="rewrite in Z-order over --cols (layout optimization)")
+    z.add_argument("path")
+    z.add_argument("--cols", required=True, help="comma-separated curve columns")
+    z.add_argument("--bits", type=int, default=16)
+    z.add_argument("--target-file-mb", type=int, default=512)
 
     e = sub.add_parser("expire", help="delete date partitions older than --before")
     e.add_argument("path")
@@ -57,6 +65,13 @@ def main(argv=None):
                 spark, args.path,
                 target_file_bytes=args.target_file_mb * 1024 * 1024,
             )
+    elif args.cmd == "zorder":
+        from otel_logger_spark.operators.zorder import zorder_parquet_dir
+
+        report = zorder_parquet_dir(
+            spark, args.path, args.cols.split(","), bits=args.bits,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
     else:
         from otel_logger_spark.operators.retention import expire_partitions
 

@@ -110,6 +110,30 @@ def compact_parquet_dir(
     the tmp removed. The unclosable residue is the recheck->delete instant
     itself — the same window every non-transactional rewrite bottoms out
     in (a table format closes it with commit-conflict retries)."""
+    return rewrite_verify_swap(
+        spark,
+        path,
+        transform=lambda df, n_target: df.repartition(n_target),
+        target_file_bytes=target_file_bytes,
+        codec=codec,
+        skip_if_compact=True,
+    )
+
+
+def rewrite_verify_swap(
+    spark: SparkSession,
+    path: str,
+    transform,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    codec: str = "snappy",
+    skip_if_compact: bool = False,
+) -> dict:
+    """The shared maintenance-rewrite protocol (compaction, Z-ordering,
+    any whole-directory layout change): fingerprint -> rewrite
+    ``transform(df, n_target)`` into tmp -> footer-verify row counts ->
+    re-fingerprint (concurrent-writer guard) -> swap. Crash anywhere
+    leaves a recoverable state (recover_compaction); any row-count or
+    listing discrepancy aborts with the source untouched."""
     recovered = recover_compaction(spark, path)
     fs = HadoopFS(spark, path)
     fps = _file_fingerprints(spark, fs, path)
@@ -122,7 +146,7 @@ def compact_parquet_dir(
     # per-file gateway round-trips
     total_bytes = sum(length for _, length in fps)
     n_target = max(1, math.ceil(total_bytes / target_file_bytes))
-    if len(files) <= n_target:
+    if skip_if_compact and len(files) <= n_target:
         return {"n_rows": sum(
             p["n_rows"] for p in parquet_partition_lineage(spark, path)
         ), "files_before": len(files), "files_after": len(files),
@@ -131,8 +155,7 @@ def compact_parquet_dir(
     src_rows = sum(p["n_rows"] for p in parquet_partition_lineage(spark, path))
     tmp = path + TMP_SUFFIX
     (
-        spark.read.parquet(path)
-        .repartition(n_target)
+        transform(spark.read.parquet(path), n_target)
         .write.mode("overwrite")
         .option("compression", codec)
         .parquet(tmp)

@@ -319,7 +319,56 @@ def _o_rate_spikes() -> str:
     )
 
 
+def q_zorder_buckets(spark, sf_dir):
+    """End-to-end check of the Z-order key math (operators/zorder.py):
+    quantize (user_id, epoch) over their measured ranges, Morton-
+    interleave, and roll up curve buckets (z div 2^26 -> 64 buckets with
+    min/max z per bucket). The oracle re-derives ranges, quantization and
+    the 32-term interleave in pure SQL — bit-identical integer
+    arithmetic, no float anywhere."""
+    from otel_logger_spark.operators.zorder import with_zvalue
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp(F.col("ts")).alias("ep")
+    )
+    z = with_zvalue(ev, ["user_id", "ep"], bits=16)
+    return z.groupBy(F.expr("_z div 67108864").alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_z").alias("z_min"),
+        F.max("_z").alias("z_max"),
+    )
+
+
+def _o_zorder_buckets() -> str:
+    qu_bits = " + ".join(
+        f"((qu // {1 << i}) % 2) * {1 << (2 * i)}" for i in range(16)
+    )
+    qe_bits = " + ".join(
+        f"((qe // {1 << i}) % 2) * {1 << (2 * i + 1)}" for i in range(16)
+    )
+    quant = (
+        "least(65535, greatest(0, (({c} - mn{s}) * 65535) // "
+        "(CASE WHEN mx{s} - mn{s} < 1 THEN 1 ELSE mx{s} - mn{s} END)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+  FROM events),
+rg AS (SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+              MIN(ep) AS mne, MAX(ep) AS mxe FROM e),
+q AS (SELECT
+  {quant.format(c="user_id", s="u")} AS qu,
+  {quant.format(c="ep", s="e")} AS qe
+  FROM e, rg),
+z AS (SELECT ({qu_bits} + {qe_bits}) AS zv FROM q)
+SELECT zv // 67108864 AS z_bucket, COUNT(*) AS n,
+       MIN(zv) AS z_min, MAX(zv) AS z_max
+FROM z GROUP BY 1"""
+
+
 QUERIES_X = {
+    "zorder_buckets": q_zorder_buckets,
     "median_gap": q_median_gap,
     "rate_spikes": q_rate_spikes,
     "log_templates": q_log_templates,
@@ -333,6 +382,7 @@ QUERIES_X = {
 }
 
 ORACLES_X = {
+    "zorder_buckets": _o_zorder_buckets(),
     "median_gap": O_MEDIAN_GAP,
     "rate_spikes": _o_rate_spikes(),
     "log_templates": _o_log_templates(),

@@ -228,6 +228,36 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def streaming_session_stats(
+    stream: DataFrame, gap: str = "5 minutes", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Streaming sessionization — the idle-gap analytics the batch
+    operator (operators/sessionize.py) provides, on an unbounded stream:
+    Spark's native ``session_window`` merges a conversation's events into
+    sessions that CLOSE when the gap passes, with state bounded by the
+    watermark (a session can only grow while late data may still arrive).
+    Emits one row per closed (conv_id, session): bounds + turn count.
+
+    Batch parity: session_window evaluates identically on a static frame,
+    and the availableNow drain must equal it row-for-row
+    (tests/test_streaming.py)."""
+    parsed = with_parsed(stream.filter(F.length("text") > 0))
+    return (
+        parsed.withWatermark("event_ts", watermark)
+        .groupBy(
+            F.col("conv_id"),
+            F.session_window("event_ts", gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 def streaming_flush_window_counts(
     stream: DataFrame, interval: str = "5 seconds", watermark: str = "30 seconds"
 ) -> DataFrame:

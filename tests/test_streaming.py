@@ -82,6 +82,50 @@ def test_streaming_flush_windows(spark, tmp_path):
     assert got == exp
 
 
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    """Streaming sessionization parity: the availableNow drain of the
+    session_window aggregate equals the identical aggregate evaluated on
+    the static frame — one row per (conv_id, idle-gap session)."""
+    from otel_logger_spark.streaming.pipeline import streaming_session_stats
+
+    in_dir, _ = _write_input(tmp_path)
+    stream = read_transcript_stream(spark, in_dir)
+    q = (
+        streaming_session_stats(stream, gap="5 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sesswin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+        for r in spark.sql("SELECT * FROM sesswin").collect()
+    }
+    batch = with_parsed(
+        spark.read.parquet(in_dir).filter(F.length("text") > 0)
+    )
+    exp = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+        for r in batch.groupBy(
+            "conv_id", F.session_window("event_ts", "5 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+    # sessions actually split (gap semantics, not one blob per conv)
+    convs = {c for c, *_ in got}
+    assert len(got) >= len(convs)
+
+
 def test_streaming_conversation_metrics_matches_batch(spark, tmp_path):
     """A4 parity in streaming mode: the conversation_metrics sink must
     finalize to exactly the batch pipeline's per-conversation rollup, even

@@ -70,6 +70,11 @@ def with_zvalue(
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
     r = df.agg(*aggs).collect()[0]
+    missing = [c for c in cols if r[f"_mn_{c}"] is None or r[f"_mx_{c}"] is None]
+    if missing:
+        raise ValueError(
+            f"cannot z-order on empty or all-NULL column(s): {missing}"
+        )
     qs = [
         quantize_expr(c, r[f"_mn_{c}"], r[f"_mx_{c}"], bits) for c in cols
     ]

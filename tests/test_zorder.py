@@ -97,6 +97,16 @@ def test_zorder_rewrite_shrinks_per_file_ranges(spark, tmp_path):
     assert tuple(total_after) == tuple(total_before)
 
 
+def test_with_zvalue_rejects_all_null_column(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="all-NULL"):
+        with_zvalue(df, ["a", "b"])
+
+
 def test_with_zvalue_deterministic(spark):
     df = spark.createDataFrame(
         [(i, (i * 7) % 50) for i in range(100)], "a long, b long"

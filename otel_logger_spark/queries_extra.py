@@ -102,13 +102,15 @@ O_ROLLUP_ROLE_STYLE = (
 
 
 def q_approx_distinct(spark, sf_dir):
-    """approx_count_distinct per role, now ORACLE-CHECKED: Spark's HLL++
-    sketch is deterministic, and at gate cardinalities it takes the linear
-    counting branch — round(m*ln(m/V)) over the m=512 registers indexed by
-    the top 9 bits of xxhash64(conv_id) — which oracles_hll.py re-derives
-    bit-for-bit on the repo's DuckDB XXH64. The exact column rides along;
-    pytest additionally pins the estimator across cardinalities and the
-    HLL relative error bound."""
+    """approx_count_distinct per role, ORACLE-CHECKED at every scale
+    factor since round 6: Spark's HLL++ sketch is deterministic, and
+    oracles_hll.py re-derives ALL of its estimator regimes bit-for-bit on
+    the repo's DuckDB XXH64 — linear counting round(m*ln(m/V)), the
+    bias-corrected branch (alphaM2/zInverse minus the KNN-window bias
+    from Spark's public rawEstimateData/biasData tables, p=9 row), and
+    the raw branch past 5m. The exact column rides along; pytest pins the
+    estimator replica against Spark across a cardinality sweep spanning
+    both branch crossovers."""
     from otel_logger_spark.graftdata import load_events_transcripts
 
     t = load_events_transcripts(spark, sf_dir)

@@ -242,6 +242,122 @@ def test_hll_linear_counting_formula_matches_spark(spark):
         assert row["a"] == math.floor(512 * math.log(512 / v) + 0.5), n
 
 
+def test_hll_estimator_replica_matches_spark_all_branches(spark):
+    """Round 6: the full-regime pure-Python estimator replica
+    (oracles_hll.hll_estimate_from_hashes — bytecode-ported from the
+    installed spark-catalyst jar) equals Spark's approx_count_distinct
+    across cardinalities spanning every branch: linear (threshold + the
+    e_raw <= 2.5m clause), both crossovers (~1230 and ~2650 values),
+    bias-corrected KNN, and raw. Register contents come from Spark's own
+    xxhash64 so this pins the ESTIMATOR independently of the DuckDB hash
+    (itself pinned by test_duckdb_xxh64_matches_spark). A 279-point dense
+    sweep (step 1 through both crossovers) passed during development;
+    this keeps a representative 60-point matrix for CI time."""
+    from otel_logger_spark.oracles_hll import hll_estimate_from_hashes
+
+    ns = sorted(
+        set(
+            [1, 2, 3, 7, 50, 150, 400, 700, 1000]
+            + list(range(1150, 1330, 20))  # linear<->bias crossover
+            + [1400, 1700, 2000, 2300]
+            + list(range(2450, 2720, 30))  # bias<->raw crossover
+            + [3000, 3500, 5000, 9000]
+        )
+    )
+    rows = [(n, "conv-%06d" % i) for n in ns for i in range(n)]
+    df = spark.createDataFrame(rows, "n: int, s: string").repartition(32)
+    got = {
+        r["n"]: r["a"]
+        for r in df.groupBy("n")
+        .agg(F.approx_count_distinct("s").alias("a"))
+        .collect()
+    }
+    hs = [
+        r["h"]
+        for r in spark.createDataFrame(
+            [("conv-%06d" % i,) for i in range(max(ns))], "s: string"
+        )
+        .select(F.xxhash64("s").alias("h"))
+        .collect()
+    ]
+    for n in ns:
+        assert hll_estimate_from_hashes(hs[:n]) == got[n], n
+
+
+def test_hll_oracle_sql_multi_regime_matches_replica():
+    """The generated DuckDB SQL (hash + rho ladder + sequential-order
+    list_reduce zInverse + KNN bias window) reproduces the Spark-pinned
+    Python replica for role groups sitting in each estimator regime —
+    pure DuckDB vs pure Python, no Spark session needed. Exact counts
+    ride along."""
+    import duckdb
+
+    from otel_logger_spark.oracles_hll import (
+        approx_distinct_by_role_oracle,
+        hll_estimate_from_hashes,
+    )
+    from otel_logger_spark.oracles_ivf import xxh64_long
+
+    # xxh64 over the UTF-8 string bytes — reuse Spark via precomputed?
+    # No: hash strings with DuckDB's own pinned XXH64 SQL inside the
+    # oracle; the replica needs the same hashes, so compute them with a
+    # tiny DuckDB query using the shared CTEs.
+    from otel_logger_spark.oracles_xxh64 import xxh64_ctes
+
+    cards = {"lin": 150, "xover": 1230, "bias": 1500, "raw": 2700}
+    rows = [
+        (role, "conv-%06d" % i) for role, n in cards.items() for i in range(n)
+    ]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE src (role VARCHAR, conv_id VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            approx_distinct_by_role_oracle(
+                "WITH t AS (SELECT role, conv_id FROM src)"
+            )
+        ).fetchall()
+    }
+    # replica expectation from the same DuckDB-side hashes
+    hashes = dict(
+        con.sql(
+            "WITH vocab AS (SELECT DISTINCT conv_id AS tok FROM src), "
+            + xxh64_ctes().lstrip().lstrip(",").strip()
+            + " SELECT tok, h64 FROM hashes"
+        ).fetchall()
+    )
+    for role, n in cards.items():
+        exp = hll_estimate_from_hashes(
+            int(hashes["conv-%06d" % i]) for i in range(n)
+        )
+        assert got[role] == (exp, n), role
+
+
+def test_approx_distinct_oracle_end_to_end_sf01(spark):
+    """Round 6 regression for the round-5 '42/43 at sf0.1' exception:
+    sf0.1's ~1500 convs/role sits in the bias-corrected branch the oracle
+    previously abstained from (NULL above H=1150). Full oracle parity at
+    sf0.1 now that oracles_hll.py models every regime."""
+    import duckdb
+
+    from otel_logger_spark.queries_extra import (
+        _o_approx_distinct,
+        q_approx_distinct,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exp = {tuple(r) for r in con.sql(_o_approx_distinct()).fetchall()}
+    got = {
+        (r["role"], r["approx_convs"], r["exact_convs"])
+        for r in q_approx_distinct(spark, sf).collect()
+    }
+    assert got == exp
+    assert all(a is not None for _, a, _ in got)  # no abstentions anywhere
+
+
 def test_approx_distinct_oracle_end_to_end_sf0001(spark):
     """Full oracle parity at a second SF (the driver gate runs sf0.01):
     DuckDB HLL re-derivation == Spark approx_count_distinct, both columns."""

@@ -28,17 +28,40 @@ live baseline instead.
 Scale shape: the per-(group, bucket) count aggregates with map-side
 partials (the only shuffle of event-volume data); everything after runs
 on the DENSE timeline, whose size is O(groups x span/bucket) —
-independent of event volume. Domain bound for int64 exactness:
-z^2 * k^2 * (k-1) * n_max^2 < 2^63, e.g. ~2.5e6 events per bucket per
-group at the defaults (z=3, k=24) — shrink ``bucket_seconds`` or add
-group columns well before that (documented, mirrors sampling.py's
-overflow discipline).
+independent of event volume. Two guards make that shape safe on dirty
+data instead of merely documented (round 6, both ENFORCED in-plan):
+
+- ``max_span_buckets`` bounds the dense timeline: one corrupt 1970/2099
+  timestamp in a group would otherwise make ``sequence(_mn, _mx)`` span
+  ~490k+ buckets per group (and Spark's sequence length cap throws far
+  later, after real memory damage). ``span_overflow="error"`` (default)
+  fails the job with an actionable message the moment any group's span
+  exceeds the cap; ``"clamp"`` keeps only the most recent
+  ``max_span_buckets`` buckets of that group's timeline (buckets before
+  the clamp point — i.e. the stray outliers — are excluded from both
+  flagging and baselines).
+- the int64 exactness bound (z^2*k^2*(k-1)*n_max^2 < 2^63, ~8.6e6
+  events/bucket/group at the defaults z=3, k=24) is enforced with an
+  in-plan assert on every dense-timeline count: past it, dev*dev and
+  s*s would wrap negative in non-ANSI Spark and real spikes silently
+  stop flagging — a false NEGATIVE in a detector. Shrink
+  ``bucket_seconds`` or add group columns when you hit it.
 """
 
 from __future__ import annotations
 
+from math import isqrt
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _n_bound(trailing: int, z: int) -> int:
+    """Largest per-bucket count for which every intermediate of the
+    integer z-score comparison stays inside int64: lhs <= k^2*(k-1)*n^2
+    and rhs <= z^2*k^3*n^2 (S <= k*n, Q <= k*n^2)."""
+    k = trailing
+    return isqrt((2**63 - 1) // max(k * k * (k - 1), z * z * k**3))
 
 
 def rate_spikes(
@@ -49,15 +72,30 @@ def rate_spikes(
     trailing: int = 24,
     z: int = 3,
     min_baseline: int = 0,
+    max_span_buckets: int = 8784,
+    span_overflow: str = "error",
 ) -> DataFrame:
     """Flag (group, bucket) pairs whose event count exceeds the trailing
     ``trailing``-bucket mean by >= ``z`` sample standard deviations.
     Requires a FULL trailing history (the first ``trailing`` buckets of
     each group never flag). Returns
     (*group_cols, bucket_start_epoch, n_events, trail_sum) — all
-    integer-typed, ascending-deterministic."""
+    integer-typed, ascending-deterministic.
+
+    ``max_span_buckets`` (default 8784 = a leap year of hourly buckets)
+    caps each group's dense-timeline span; ``span_overflow`` picks the
+    reaction ("error" fails loudly, "clamp" keeps the most recent cap
+    worth of buckets). See the module docstring for why both this and
+    the per-bucket count bound are enforced rather than documented."""
     if trailing < 2:
         raise ValueError(f"trailing must be >= 2 (sample std): {trailing}")
+    if max_span_buckets < trailing + 1:
+        raise ValueError(
+            f"max_span_buckets must exceed trailing ({trailing}): "
+            f"{max_span_buckets}"
+        )
+    if span_overflow not in ("error", "clamp"):
+        raise ValueError(f"span_overflow must be error|clamp: {span_overflow}")
     g = list(group_cols)
     k = trailing
     bucket = F.expr(f"unix_timestamp({ts_col}) DIV {bucket_seconds}")
@@ -66,13 +104,46 @@ def rate_spikes(
         .groupBy(*g, "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    dense = (
-        counts.groupBy(*g)
-        .agg(F.min("_b").alias("_mn"), F.max("_b").alias("_mx"))
-        .select(*g, F.explode(F.sequence("_mn", "_mx")).alias("_b"))
+    span_agg = counts.groupBy(*g).agg(
+        F.min("_b").alias("_mn"), F.max("_b").alias("_mx")
+    )
+    if span_overflow == "error":
+        # assert_true returns NULL when the predicate holds and throws
+        # otherwise; routing _mn through it keeps the check in the plan
+        # (an unreferenced assert column would be pruned by Catalyst).
+        span_ok = F.assert_true(
+            F.col("_mx") - F.col("_mn") < F.lit(max_span_buckets),
+            F.concat(
+                F.lit(
+                    "rate_spikes: dense timeline span exceeds "
+                    f"max_span_buckets={max_span_buckets} for group "
+                ),
+                F.concat_ws("/", *g),
+                F.lit(
+                    f" (bucket range spans x{bucket_seconds}s buckets) — "
+                    "likely a corrupt outlier timestamp; filter the input, "
+                    "raise max_span_buckets, or use span_overflow='clamp'"
+                ),
+            ),
+        )
+        lo = F.when(span_ok.isNull(), F.col("_mn"))
+    else:
+        lo = F.greatest(F.col("_mn"), F.col("_mx") - F.lit(max_span_buckets - 1))
+    dense = span_agg.select(*g, F.explode(F.sequence(lo, F.col("_mx"))).alias("_b"))
+    n_cap = _n_bound(k, z)
+    n_checked = F.when(
+        F.assert_true(
+            F.coalesce("_n", F.lit(0)) <= n_cap,
+            F.lit(
+                f"rate_spikes: per-bucket count exceeds {n_cap}, the int64 "
+                f"exactness bound at trailing={k}, z={z} — shrink "
+                "bucket_seconds or add group columns"
+            ),
+        ).isNull(),
+        F.coalesce("_n", F.lit(0)),
     )
     filled = dense.join(counts, [*g, "_b"], "left").select(
-        *g, "_b", F.coalesce("_n", F.lit(0)).alias("_n")
+        *g, "_b", n_checked.alias("_n")
     )
     w = Window.partitionBy(*g).orderBy("_b").rowsBetween(-k, -1)
     scored = filled.select(

@@ -57,6 +57,68 @@ def test_trailing_lt_2_rejected(spark):
         rate_spikes(_hours(spark, [1]), trailing=1)
 
 
+def test_outlier_timestamp_errors_by_default(spark):
+    """Round 6 guard: one stray 1970 timestamp would make the dense
+    timeline span ~475k hourly buckets — the default span_overflow=
+    'error' fails loudly with the knob names in the message instead of
+    exploding sequence()."""
+    from pyspark.errors import SparkRuntimeException
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _hours(spark, [2, 4] * 12 + [7]).union(
+        spark.createDataFrame(
+            [("a", datetime(1970, 1, 5, 0, 0, 0))], "role string, ts timestamp"
+        )
+    )
+    with pytest.raises(SparkRuntimeException, match="max_span_buckets"):
+        rate_spikes(df, bucket_seconds=3600, trailing=24, z=3).collect()
+
+
+def test_outlier_timestamp_clamp_matches_clean_run(spark):
+    """span_overflow='clamp' keeps only the most recent max_span_buckets
+    buckets: the 1970 outlier (and everything before the clamp point)
+    drops out of both flagging and baselines, so the result equals the
+    clean input's — and a span exactly at the cap stays untouched."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clean = _hours(spark, [2, 4] * 12 + [7])
+    dirty = clean.union(
+        spark.createDataFrame(
+            [("a", datetime(1970, 1, 5, 0, 0, 0))], "role string, ts timestamp"
+        )
+    )
+    exp = sorted(map(tuple, rate_spikes(
+        clean, bucket_seconds=3600, trailing=24, z=3).collect()))
+    got = sorted(map(tuple, rate_spikes(
+        dirty, bucket_seconds=3600, trailing=24, z=3,
+        span_overflow="clamp", max_span_buckets=25).collect()))
+    assert got == exp and len(got) == 1
+    # exactly-at-cap clean span passes error mode unchanged
+    at_cap = sorted(map(tuple, rate_spikes(
+        clean, bucket_seconds=3600, trailing=24, z=3,
+        max_span_buckets=25).collect()))
+    assert at_cap == exp
+
+
+def test_count_bound_enforced_not_just_documented(spark):
+    """The int64 exactness bound is asserted in-plan: with z inflated so
+    the bound drops to a test-sized value, a bucket past it raises
+    instead of silently wrapping negative (false-negative detector)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from otel_logger_spark.operators.anomaly import _n_bound
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    z = 10**6
+    assert _n_bound(3, z) == 584  # isqrt((2^63-1) / (z^2 * 27))
+    df = _hours(spark, [600, 1, 1, 1])
+    with pytest.raises(SparkRuntimeException, match="int64 exactness bound"):
+        rate_spikes(df, bucket_seconds=3600, trailing=3, z=z).collect()
+    # same shape inside the bound runs fine
+    assert rate_spikes(
+        _hours(spark, [500, 1, 1, 1]), bucket_seconds=3600, trailing=3, z=z
+    ).count() == 0
+
+
 def test_rate_spikes_oracle_parity_sf0001(spark):
     """Full oracle parity at a second SF (the driver gate runs sf0.01)."""
     import duckdb

@@ -520,7 +520,8 @@ c AS (
 SELECT source, CAST(bucket AS BIGINT) AS bucket,
   CAST(start_offset // 1000 AS BIGINT) AS pack_id,
   COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
-  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+  CAST((100 * SUM(n)) // 1000 AS BIGINT) AS fill_pct
 FROM c GROUP BY 1, 2, 3
 """
 

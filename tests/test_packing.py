@@ -19,7 +19,7 @@ def test_hand_assignment(spark):
     """tokens [300,300,300,300], budget 600: starts 0/300/600/900 ->
     packs 0,0,1,1."""
     out = pack_documents(_docs(spark, [300, 300, 300, 300]), budget=600,
-                         token_col="n").collect()
+                         token_col="n", n_buckets=1).collect()
     assert {r["doc_id"]: (r["start_offset"], r["pack_id"]) for r in out} == {
         0: (0, 0), 1: (300, 0), 2: (600, 1), 3: (900, 1)
     }
@@ -30,7 +30,7 @@ def test_oversize_doc_owns_shard_sparse_ids(spark):
     offset 1500 -> pack 2 (pack 1 is legitimately absent: the stream
     positions it covers are inside the oversize document)."""
     out = pack_documents(_docs(spark, [1500, 100]), budget=600,
-                         token_col="n").collect()
+                         token_col="n", n_buckets=1).collect()
     assert {r["doc_id"]: r["pack_id"] for r in out} == {0: 0, 1: 2}
 
 
@@ -60,7 +60,38 @@ def test_pack_shards_oracle_parity_sf0001(spark):
     exp = {tuple(r) for r in con.sql(O_PACK_SHARDS).fetchall()}
     got = {
         (r["source"], r["bucket"], r["pack_id"], r["n_docs"], r["n_tokens"],
-         r["first_doc"], r["last_doc"])
+         r["first_doc"], r["last_doc"], r["fill_pct"])
         for r in q_pack_shards(spark, sf).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_default_buckets_derive_from_shuffle_partitions(spark):
+    """Round 6: the scale-unsafe single-stream setting is opt-in.
+    Default n_buckets=None spreads streams across
+    spark.sql.shuffle.partitions buckets; assignment within each stream
+    is unchanged (bucket = doc_id % P), and serializing requires an
+    explicit n_buckets=1."""
+    import pytest
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = _docs(spark, [((i * 37) % 400) + 1 for i in range(200)])
+    packed = pack_documents(df, budget=500, token_col="n")
+    assert packed.filter(F.col("bucket") != F.col("doc_id") % p).count() == 0
+    assert packed.select("bucket").distinct().count() == min(200, p)
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_documents(df, budget=500, token_col="n", n_buckets=0)
+
+
+def test_fill_pct_semantics(spark):
+    """fill_pct = (100 * n_tokens) DIV budget: ~100 for packed shards,
+    < 100 for the stream tail, > 100 for an oversize atomic document."""
+    stats = {
+        r["pack_id"]: (r["n_tokens"], r["fill_pct"])
+        for r in pack_stats(
+            _docs(spark, [1500, 300, 300, 100]), budget=600,
+            token_col="n", n_buckets=1,
+        ).collect()
+    }
+    # starts: 0 (pack 0, oversize), 1500 -> pack 2, 1800 -> pack 3, 2100 -> pack 3
+    assert stats == {0: (1500, 250), 2: (300, 50), 3: (400, 66)}

@@ -49,8 +49,22 @@ def quantize_expr(name: str, mn: int, mx: int, bits: int = 16) -> Column:
 
 def zvalue_expr(quantized: list[Column], bits: int = 16) -> Column:
     """Morton interleave of k pre-quantized columns: column j's bit i
-    becomes z-bit i*k + j. 2 cols x 16 bits -> a 32-bit z in a LONG."""
+    becomes z-bit i*k + j. 2 cols x 16 bits -> a 32-bit z in a LONG.
+
+    Interleave width is guarded like quantize_expr's domain bound: with
+    k*bits > 63 (e.g. 4 columns at the default 16 bits) the top z-bit
+    positions would reach the sign bit and beyond — Spark long shifts
+    wrap mod 64 and the ``+`` accumulation carries across colliding
+    bits, silently producing a garbage (non-Morton) layout."""
     k = len(quantized)
+    if k < 1:
+        raise ValueError("zvalue_expr needs at least one quantized column")
+    if k * bits > 63:
+        raise ValueError(
+            f"z-value width {k} cols * {bits} bits = {k * bits} exceeds the "
+            f"63 usable bits of a LONG — reduce bits (<= {63 // k} for "
+            f"{k} columns) or drop curve columns"
+        )
     z = F.lit(0).cast("long")
     for j, q in enumerate(quantized):
         for i in range(bits):
@@ -61,23 +75,39 @@ def zvalue_expr(quantized: list[Column], bits: int = 16) -> Column:
 
 
 def with_zvalue(
-    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "_z"
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "_z",
+    ranges: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
-    """Adds the z-value over measured per-column [min, max] ranges (one
-    aggregate job; at 10^12 rows that is one metadata-cheap pass — or
-    pass precomputed ranges at the call sites that have them)."""
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-    r = df.agg(*aggs).collect()[0]
-    missing = [c for c in cols if r[f"_mn_{c}"] is None or r[f"_mx_{c}"] is None]
-    if missing:
-        raise ValueError(
-            f"cannot z-order on empty or all-NULL column(s): {missing}"
-        )
-    qs = [
-        quantize_expr(c, r[f"_mn_{c}"], r[f"_mx_{c}"], bits) for c in cols
-    ]
+    """Adds the z-value over per-column [min, max] ranges. ``ranges``
+    maps column -> (min, max) for callers that already know them (table
+    statistics, partition metadata): columns covered there skip the
+    measurement aggregate entirely — with every column covered, ZERO
+    Spark jobs run before the rewrite, which is what you want at 10^12
+    rows. Uncovered columns are measured in one combined agg job."""
+    ranges = dict(ranges or {})
+    unknown = set(ranges) - set(cols)
+    if unknown:
+        raise ValueError(f"ranges for non-curve column(s): {sorted(unknown)}")
+    to_measure = [c for c in cols if c not in ranges]
+    if to_measure:
+        aggs = []
+        for c in to_measure:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        r = df.agg(*aggs).collect()[0]
+        missing = [
+            c for c in to_measure
+            if r[f"_mn_{c}"] is None or r[f"_mx_{c}"] is None
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot z-order on empty or all-NULL column(s): {missing}"
+            )
+        for c in to_measure:
+            ranges[c] = (r[f"_mn_{c}"], r[f"_mx_{c}"])
+    qs = [quantize_expr(c, *ranges[c], bits) for c in cols]
     return df.withColumn(out_col, zvalue_expr(qs, bits))
 
 
@@ -88,15 +118,20 @@ def zorder_parquet_dir(
     bits: int = 16,
     target_file_bytes: int = 512 * 1024 * 1024,
     codec: str = "snappy",
+    ranges: dict[str, tuple[int, int]] | None = None,
 ) -> dict:
     """Rewrite a parquet directory in Z-order over ``cols``:
     range-partition by z (so files tile the curve) and sort within
     partitions (so row groups tile it too), then verify and swap. Every
     safety property of compaction holds; the layout change is the only
-    difference. Returns the rewrite report."""
+    difference. ``ranges`` (column -> (min, max)) skips the range
+    measurement for columns whose bounds the caller already has.
+    Returns the rewrite report."""
+    # fail on an over-wide curve before any job or tmp dir is created
+    zvalue_expr([F.lit(0).cast("long")] * len(cols), bits)
 
     def transform(df: DataFrame, n_target: int) -> DataFrame:
-        z = with_zvalue(df, cols, bits)
+        z = with_zvalue(df, cols, bits, ranges=ranges)
         return (
             z.repartitionByRange(n_target, "_z")
             .sortWithinPartitions("_z")

@@ -114,3 +114,57 @@ def test_with_zvalue_deterministic(spark):
     z1 = sorted(r["_z"] for r in with_zvalue(df, ["a", "b"]).collect())
     z2 = sorted(r["_z"] for r in with_zvalue(df, ["a", "b"]).collect())
     assert z1 == z2
+
+
+def test_zvalue_width_guard(spark):
+    """Round 6 (advisor): 4 cols x 16 bits would push z-bit positions to
+    64+ where long shifts wrap mod 64 and the + accumulation carries
+    across colliding bits — a silently garbage curve. Refuse loudly, at
+    the widest still-valid width keep working, and fail from
+    zorder_parquet_dir before any job or tmp dir exists."""
+    import pytest
+
+    cols = [F.lit(1).cast("long")] * 4
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zvalue_expr(cols, bits=16)
+    with pytest.raises(ValueError, match="at least one"):
+        zvalue_expr([], bits=16)
+    # 4 cols x 15 bits = 60 <= 63: fine
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    qs = [F.col(c) for c in ("a", "b", "c", "d")]
+    assert df.select(zvalue_expr(qs, bits=15).alias("z")).collect()[0]["z"] > 0
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zorder_parquet_dir(spark, "/nonexistent", ["a", "b", "c", "d"], bits=16)
+
+
+def test_with_zvalue_precomputed_ranges(spark):
+    """Round 6: ranges= skips the measurement agg — explicit ranges equal
+    to the data's true min/max produce the bit-identical z column, and a
+    range for a non-curve column is rejected."""
+    import pytest
+
+    rows = [(i * 7 % 100, i * 13 % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    measured = sorted(
+        r["_z"] for r in with_zvalue(df, ["a", "b"], bits=8).collect()
+    )
+    explicit = sorted(
+        r["_z"]
+        for r in with_zvalue(
+            df, ["a", "b"], bits=8,
+            ranges={"a": (min(r[0] for r in rows), max(r[0] for r in rows)),
+                    "b": (min(r[1] for r in rows), max(r[1] for r in rows))},
+        ).collect()
+    )
+    assert explicit == measured
+    # partial coverage: only 'a' precomputed, 'b' measured — same result
+    partial = sorted(
+        r["_z"]
+        for r in with_zvalue(
+            df, ["a", "b"], bits=8,
+            ranges={"a": (min(r[0] for r in rows), max(r[0] for r in rows))},
+        ).collect()
+    )
+    assert partial == measured
+    with pytest.raises(ValueError, match="non-curve"):
+        with_zvalue(df, ["a"], ranges={"zzz": (0, 1)})

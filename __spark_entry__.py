@@ -36,6 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from otel_logger_spark.queries import ORACLES_AB
     from otel_logger_spark.queries_extra import ORACLES_X
-    from otel_logger_spark.queries_training import ORACLES_C
+    from otel_logger_spark.queries_training import (
+        ORACLES_C,
+        resolve_lazy_oracles,
+    )
 
-    return {**ORACLES_AB, **ORACLES_C, **ORACLES_X}
+    # the IVF oracle trains k-means on the gate input — resolved here,
+    # not at module import (see resolve_lazy_oracles)
+    return {**ORACLES_AB, **resolve_lazy_oracles(ORACLES_C), **ORACLES_X}

@@ -672,6 +672,20 @@ ORACLES_C = {
     "pack_shards": O_PACK_SHARDS,
 }
 
-_IVF_ORACLE = _o_ann_ivf_topk()
-if _IVF_ORACLE is not None:
-    ORACLES_C["ann_ivf_topk"] = _IVF_ORACLE
+def resolve_lazy_oracles(oracles: dict) -> dict:
+    """Round 6 (advisor): the IVF oracle used to be generated AT MODULE
+    IMPORT — a DuckDB parquet scan + numpy Lloyd k-means on every import
+    of this module (bench runs, plan audits, tests that never touch
+    oracles), and an import-time crash if duckdb is unimportable while
+    the testdata exists. Now it resolves only where oracles are actually
+    consumed (__spark_entry__.oracle_sql / the gate runner); any failure
+    degrades that ONE query to the rows-only check instead of breaking
+    the module import."""
+    out = dict(oracles)
+    try:
+        ivf = _o_ann_ivf_topk()
+    except Exception:
+        ivf = None
+    if ivf is not None:
+        out["ann_ivf_topk"] = ivf
+    return out

@@ -922,3 +922,25 @@ def test_weighted_sample_overflow_guard(spark):
         weighted_sample(df, "w", base_rate=3e6)
     with _pytest.raises(ValueError, match="base_rate"):
         weighted_sample(df, "w", base_rate=-0.1)
+
+
+def test_query_module_import_is_side_effect_free():
+    """Round 6 (advisor): the IVF oracle (DuckDB scan + numpy Lloyd) must
+    NOT run at queries_training import — and with duckdb unimportable the
+    module still imports and oracle_sql() degrades that one query to the
+    rows-only check instead of crashing every bench/plan-audit import."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.modules['duckdb'] = None;"
+        "import otel_logger_spark.queries_training as qt;"
+        "assert 'ann_ivf_topk' not in qt.ORACLES_C;"
+        "import __spark_entry__ as e; o = e.oracle_sql();"
+        "assert 'ann_ivf_topk' not in o and 'pack_shards' in o"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr

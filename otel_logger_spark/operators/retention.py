@@ -77,12 +77,23 @@ def _audit_expired(
         ]
         pairs = [(head, fs.parquet_row_count(f)) for f, head in counted]
     else:
-        rows = (
-            spark.read.parquet(*uris)
-            .groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .collect()
-        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = (
+                spark.read.parquet(*uris)
+                .groupBy(F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .collect()
+            )
+        except AnalysisException:
+            # Every expired partition is parquet-empty (markers/_SUCCESS
+            # only), so schema inference has nothing to read. Same outcome
+            # as the small branch on empty dirs: zero-count audit entries,
+            # expiry proceeds. (One non-empty partition in the batch is
+            # enough to infer the schema; empty ones then just contribute
+            # no rows — only the ALL-empty case lands here.)
+            rows = []
         rels = fs.relativize_many(root, [r["file"] for r in rows])
         pairs = [
             (rel.split("/", 1)[0], int(r["n_rows"]))

@@ -144,3 +144,39 @@ def test_expire_noop_when_all_within_window(spark, tmp_path):
     res = expire_partitions(spark, path, before=date(2024, 1, 10))
     assert res["expired"] == []
     assert spark.read.parquet(path).count() == 30
+
+
+def test_expire_big_table_all_empty_expired_partitions(spark, tmp_path):
+    """Round 6 (advisor): if the root is big enough to pick the
+    distributed-audit branch while EVERY expired partition contains zero
+    parquet files, spark.read.parquet over those dirs raises 'unable to
+    infer schema' — the expire run must report 0-row entries and delete
+    them, not abort."""
+    import os
+
+    path = str(tmp_path / "dated_empty_expired")
+    # kept partitions: enough files to exceed the small-table threshold
+    rows = []
+    for d in (6, 7):
+        ts = datetime(2024, 1, d, 12, 0, 0)
+        rows += [(f"c{d}-{j}", ts) for j in range(80)]
+    df = spark.createDataFrame(rows, "conv_id string, event_ts timestamp")
+    (
+        df.withColumn("event_date", F.to_date("event_ts"))
+        .repartition(70, "conv_id")
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    # expired partitions: directories with no parquet at all
+    for d in (1, 2):
+        p = f"{path}/event_date=2024-01-0{d}"
+        os.makedirs(p)
+        open(f"{p}/_SUCCESS", "w").close()
+    res = expire_partitions(spark, path, before=date(2024, 1, 6))
+    assert [(e["partition"], e["n_rows"], e["n_files"]) for e in res["expired"]] == [
+        ("event_date=2024-01-01", 0, 0),
+        ("event_date=2024-01-02", 0, 0),
+    ]
+    assert res["kept"] == ["2024-01-06", "2024-01-07"]
+    assert not os.path.exists(f"{path}/event_date=2024-01-01")
+    assert spark.read.parquet(path).count() == 160

@@ -142,13 +142,35 @@ def test_pack_shards_two_exchanges_no_python(spark):
 
 
 def test_pii_redaction_no_python_no_joins(spark):
-    """The redaction report is regex codegen + a union-aggregate: no UDF,
-    no join operator anywhere."""
+    """The redaction report is ONE regex-codegen pass un-pivoted via
+    stack(): no UDF, no join, and no union of per-type branches (which
+    would re-run every regex per branch — no cross-branch CSE). The
+    exchange bound pins single-pass-ness: fan-out repartition + the tiny
+    report aggregate."""
     from otel_logger_spark.queries_training import q_pii_redaction
 
     s = shape(q_pii_redaction(spark, SF))
     assert s["python_stages"] == 0
     assert s["joins"] == []
+    assert s["exchanges"] <= 2
+
+
+def test_zorder_buckets_one_volume_exchange_pruned_scan(spark):
+    """Z-order key math: quantize + Morton interleave are pure integer
+    codegen, so event volume crosses exactly ONE exchange (the 64-value
+    curve-bucket aggregate), and the scan reads only the two curve
+    columns — never event payloads."""
+    from otel_logger_spark.queries_extra import q_zorder_buckets
+
+    s = shape(q_zorder_buckets(spark, SF))
+    assert s["python_stages"] == 0
+    assert s["joins"] == []
+    assert s["exchanges"] <= 1
+    assert s["scans"], "expected a parquet scan"
+    for sc in s["scans"]:
+        rs = sc.get("ReadSchema", "")
+        assert "user_id" in rs and "ts" in rs
+        assert "event_type" not in rs and "conv_id" not in rs
 
 
 def test_scans_are_column_pruned(shapes):

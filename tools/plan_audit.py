@@ -90,6 +90,21 @@ COMMENT = {
         "assignment is an exclusive running sum + integer division inside "
         "codegen. Bucketed streams keep the window parallel — a global "
         "order would serialize on one partition."),
+    "zorder_buckets": (
+        "Z-order key math end-to-end: quantize + 32-term Morton "
+        "interleave are pure integer codegen over a two-column pruned "
+        "scan (user_id, ts — never the payload), then ONE aggregate "
+        "exchange on the 64-value curve-bucket key. The range "
+        "measurement is a separate tiny agg job (skippable via "
+        "precomputed ranges= since round 6); event volume crosses one "
+        "exchange, same as a plain rollup."),
+    "pii_redaction": (
+        "redaction report: the mask chain and per-type counters are one "
+        "regexp codegen pass over the corpus; the per-type report "
+        "un-pivots via stack() — ONE pass, never a UNION of per-type "
+        "branches (Catalyst has no cross-branch CSE: a union would "
+        "re-run every regex per branch). Exchanges: the narrow-input "
+        "fan-out repartition + the tiny report aggregate."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -148,6 +163,11 @@ def main():
 
     dfs["rate_spikes"] = q_rate_spikes(spark, sf_dir)
     dfs["pack_shards"] = q_pack_shards(spark, sf_dir)
+    from otel_logger_spark.queries_extra import q_zorder_buckets
+    from otel_logger_spark.queries_training import q_pii_redaction
+
+    dfs["zorder_buckets"] = q_zorder_buckets(spark, sf_dir)
+    dfs["pii_redaction"] = q_pii_redaction(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

@@ -87,6 +87,41 @@ def rate_spikes(
     reaction ("error" fails loudly, "clamp" keeps the most recent cap
     worth of buckets). See the module docstring for why both this and
     the per-bucket count bound are enforced rather than documented."""
+    bucket = F.expr(f"unix_timestamp({ts_col}) DIV {bucket_seconds}")
+    counts = (
+        df.select(*group_cols, bucket.alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return spikes_from_bucket_counts(
+        counts,
+        group_cols=group_cols,
+        bucket_seconds=bucket_seconds,
+        trailing=trailing,
+        z=z,
+        min_baseline=min_baseline,
+        max_span_buckets=max_span_buckets,
+        span_overflow=span_overflow,
+    )
+
+
+def spikes_from_bucket_counts(
+    counts: DataFrame,
+    group_cols: tuple[str, ...] = ("role",),
+    bucket_seconds: int = 3600,
+    trailing: int = 24,
+    z: int = 3,
+    min_baseline: int = 0,
+    max_span_buckets: int = 8784,
+    span_overflow: str = "error",
+) -> DataFrame:
+    """The detector's post-aggregation half, over pre-bucketed counts
+    (*group_cols, _b, _n) — shared by batch ``rate_spikes`` (which
+    derives counts from raw events) and the streaming finalizer
+    (streaming/analytics.read_rate_spikes, which re-aggregates per-batch
+    partials). Everything from the dense timeline on is identical, so
+    streaming equals batch row-for-row whatever the micro-batch
+    boundaries were."""
     if trailing < 2:
         raise ValueError(f"trailing must be >= 2 (sample std): {trailing}")
     if max_span_buckets < trailing + 1:
@@ -98,12 +133,6 @@ def rate_spikes(
         raise ValueError(f"span_overflow must be error|clamp: {span_overflow}")
     g = list(group_cols)
     k = trailing
-    bucket = F.expr(f"unix_timestamp({ts_col}) DIV {bucket_seconds}")
-    counts = (
-        df.select(*g, bucket.alias("_b"))
-        .groupBy(*g, "_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
     span_agg = counts.groupBy(*g).agg(
         F.min("_b").alias("_mn"), F.max("_b").alias("_mx")
     )

@@ -1,0 +1,163 @@
+"""Streaming variants of the two batch-analytics operators that summarize
+event VOLUME — log template mining (functions/templates.py) and rate-spike
+detection (operators/anomaly.py) — using the same partials-then-finalize
+pattern as the pipeline's conversation_metrics sink
+(streaming/pipeline.write_streaming_batch): each micro-batch writes a
+DECOMPOSABLE partial aggregate into its own ``batchid=<id>`` directory
+(overwrite => exactly-once per (sink, batchId) on top of the checkpoint's
+at-least-once redelivery), and a finalizer re-aggregates the partials into
+exactly the batch operator's answer — row-for-row, whatever the
+micro-batch boundaries were.
+
+Why partials, not stateful streaming aggregation: both finalized tables
+are unbounded-history summaries (a template's distinct-conversation count,
+a bucket's trailing-24h baseline). Keeping them in streaming state would
+grow without bound and still be unreadable mid-stream; per-batch partials
+are bounded (distinct keys per batch), cheap (map-side combine inside the
+micro-batch), and the finalize is an ordinary batch query over the sink —
+run it whenever a fresh table is wanted.
+
+Partial schemas (both tiny next to event volume):
+- templates: (template, conv_id, n) — per-conversation counts, because
+  ``n_convs`` (COUNT DISTINCT) is not sum-decomposable but IS re-derivable
+  from per-(template, conv) partials;
+- rate: (*group_cols, _b, _n) — per-bucket counts; a bucket spanning
+  micro-batches sums correctly in the finalizer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otel_logger_spark.functions.templates import with_template
+from otel_logger_spark.operators.anomaly import spikes_from_bucket_counts
+
+TEMPLATE_SINK = "template_partials"
+RATE_SINK = "rate_partials"
+
+
+def template_partials(
+    df: DataFrame, text_col: str = "text", conv_col: str = "conv_id"
+) -> DataFrame:
+    """(template, conv_id, n) for one micro-batch."""
+    return (
+        with_template(df, text_col)
+        .groupBy("template", F.col(conv_col).alias("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def rate_partials(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("role",),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """(*group_cols, _b, _n) for one micro-batch."""
+    bucket = F.expr(f"unix_timestamp({ts_col}) DIV {bucket_seconds}")
+    return (
+        df.select(*group_cols, bucket.alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def write_analytics_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("role",),
+    bucket_seconds: int = 3600,
+) -> None:
+    """One micro-batch's analytics partials, batchId-idempotent."""
+    batch_df = batch_df.persist()
+    try:
+        template_partials(batch_df, text_col, conv_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, TEMPLATE_SINK, f"batchid={batch_id}"))
+        rate_partials(batch_df, ts_col, group_cols, bucket_seconds).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, RATE_SINK, f"batchid={batch_id}"))
+    finally:
+        batch_df.unpersist()
+
+
+def run_streaming_analytics(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+    group_cols: tuple[str, ...] = ("role",),
+    bucket_seconds: int = 3600,
+):
+    """Run both analytics partial sinks over the live transcript stream;
+    returns the started query. Same trigger semantics as
+    run_streaming_pipeline (availableNow drains then stops)."""
+    from otel_logger_spark.streaming.pipeline import read_transcript_stream
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    src = stream.filter(F.length("text") > 0)
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        write_analytics_batch(
+            batch_df, batch_id, out_dir,
+            group_cols=group_cols, bucket_seconds=bucket_seconds,
+        )
+
+    writer = src.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_template_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Finalize the template sink: (template, n, n_convs) — field-for-field
+    functions/templates.template_counts on the union of all micro-batches
+    (n_convs re-derived exactly from the per-(template, conv) partials)."""
+    parts = spark.read.parquet(os.path.join(out_dir, TEMPLATE_SINK))
+    return parts.groupBy("template").agg(
+        F.sum("n").alias("n"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def read_rate_spikes(
+    spark: SparkSession,
+    out_dir: str,
+    group_cols: tuple[str, ...] = ("role",),
+    bucket_seconds: int = 3600,
+    trailing: int = 24,
+    z: int = 3,
+    min_baseline: int = 0,
+    max_span_buckets: int = 8784,
+    span_overflow: str = "error",
+) -> DataFrame:
+    """Finalize the rate sink: re-aggregate per-batch bucket counts and run
+    the SAME post-aggregation detector as batch rate_spikes
+    (operators/anomaly.spikes_from_bucket_counts — dense timeline, span
+    guard, integer-exact z-score), so streaming equals batch row-for-row."""
+    parts = spark.read.parquet(os.path.join(out_dir, RATE_SINK))
+    counts = parts.groupBy(*group_cols, "_b").agg(F.sum("_n").alias("_n"))
+    return spikes_from_bucket_counts(
+        counts,
+        group_cols=group_cols,
+        bucket_seconds=bucket_seconds,
+        trailing=trailing,
+        z=z,
+        min_baseline=min_baseline,
+        max_span_buckets=max_span_buckets,
+        span_overflow=span_overflow,
+    )

@@ -8,8 +8,11 @@ pipeline CLI (cli.py):
         [--partition-col event_date] [--dry-run]
     python -m otel_logger_spark.maintenance zorder <dir> --cols a,b \
         [--bits 16] [--target-file-mb 512]
+    python -m otel_logger_spark.maintenance run-all <dir> \
+        [--before YYYY-MM-DD] [--cols a,b] [--bits 16] \
+        [--partition-col event_date] [--target-file-mb 512]
 
-Both print a one-line JSON report (the audit trail: rows/files touched),
+Each prints a one-line JSON report (the audit trail: rows/files touched),
 mirroring cli.py's manifest-count output.
 """
 
@@ -19,6 +22,100 @@ import argparse
 import json
 import sys
 from datetime import date
+
+
+def run_maintenance_lifecycle(
+    spark,
+    root: str,
+    partition_col: str = "event_date",
+    before: date | None = None,
+    zorder_cols: list[str] | None = None,
+    bits: int = 16,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> dict:
+    """The composed upkeep pass a date-partitioned sink runs on a
+    schedule — all three maintenance operators over one root, in the
+    order that does the least IO:
+
+    1. **expire** (operators/retention.py) runs FIRST: rewriting a
+       partition that the same pass then deletes is pure wasted IO, so
+       the TTL delete precedes any layout work.
+    2. **one rewrite per surviving partition**: Z-order
+       (operators/zorder.py) when ``zorder_cols`` is given — its
+       range-partition + sort rewrite already produces
+       ``target_file_bytes``-sized files, so running compaction first
+       would literally double the rewrite IO for zero layout benefit —
+       else plain compaction (operators/compact.py, no-op when the
+       partition already meets the target file count).
+
+    Guard composition (pinned by tests/test_maintenance_lifecycle.py):
+    the pass begins with a ROOT-LEVEL recovery sweep — a rewrite that
+    crashed between delete and rename leaves only
+    ``<partition>.compact_tmp`` with the target MISSING, so the
+    partition listing alone would never see it again; the sweep calls
+    ``recover_compaction`` for every tmp leftover (renaming completed
+    tmps into place, discarding stale ones next to intact targets)
+    BEFORE expiry audits or rewrites run. Per-partition rewrites then
+    each re-run recovery for their own dir (compact and zorder share
+    the protocol), and ``list_date_partitions``'s anchored pattern
+    never mistakes a tmp dir for a partition.
+
+    Returns {"recovered_pre_pass": [partition names],
+             "expire": <expire report or None>,
+             "rewrites": [{"partition", ...rewrite report}...],
+             "mode": "zorder"|"compact"}."""
+    from otel_logger_spark.fsio import HadoopFS
+    from otel_logger_spark.operators.compact import (
+        TMP_SUFFIX,
+        compact_parquet_dir,
+        recover_compaction,
+    )
+    from otel_logger_spark.operators.retention import (
+        expire_partitions,
+        list_date_partitions,
+    )
+    from otel_logger_spark.operators.zorder import zorder_parquet_dir
+
+    if zorder_cols:
+        # refuse an over-wide curve before deleting anything
+        from otel_logger_spark.operators.zorder import zvalue_expr
+
+        from pyspark.sql import functions as F
+
+        zvalue_expr([F.lit(0).cast("long")] * len(zorder_cols), bits)
+
+    fs = HadoopFS(spark, root)
+    recovered_pre_pass = []
+    for st in fs._fs.listStatus(fs._p(root)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.endswith(TMP_SUFFIX):
+            target = st.getPath().toString()[: -len(TMP_SUFFIX)]
+            if recover_compaction(spark, target):
+                recovered_pre_pass.append(name[: -len(TMP_SUFFIX)])
+
+    expire_report = (
+        expire_partitions(spark, root, before=before, partition_col=partition_col)
+        if before is not None
+        else None
+    )
+    rewrites = []
+    for d, uri in list_date_partitions(spark, root, partition_col):
+        if zorder_cols:
+            rep = zorder_parquet_dir(
+                spark, uri, zorder_cols, bits=bits,
+                target_file_bytes=target_file_bytes,
+            )
+        else:
+            rep = compact_parquet_dir(
+                spark, uri, target_file_bytes=target_file_bytes
+            )
+        rewrites.append({"partition": f"{partition_col}={d.isoformat()}", **rep})
+    return {
+        "recovered_pre_pass": recovered_pre_pass,
+        "expire": expire_report,
+        "rewrites": rewrites,
+        "mode": "zorder" if zorder_cols else "compact",
+    }
 
 
 def main(argv=None):
@@ -42,6 +139,18 @@ def main(argv=None):
     e.add_argument("--before", required=True, help="YYYY-MM-DD cutoff (exclusive)")
     e.add_argument("--partition-col", default="event_date")
     e.add_argument("--dry-run", action="store_true")
+
+    r = sub.add_parser(
+        "run-all",
+        help="composed lifecycle: expire, then one rewrite per surviving "
+        "partition (zorder with --cols, else compaction)",
+    )
+    r.add_argument("path")
+    r.add_argument("--before", default=None, help="YYYY-MM-DD TTL cutoff (optional)")
+    r.add_argument("--cols", default=None, help="comma-separated curve columns")
+    r.add_argument("--bits", type=int, default=16)
+    r.add_argument("--partition-col", default="event_date")
+    r.add_argument("--target-file-mb", type=int, default=512)
 
     args = ap.parse_args(argv)
 
@@ -70,6 +179,16 @@ def main(argv=None):
 
         report = zorder_parquet_dir(
             spark, args.path, args.cols.split(","), bits=args.bits,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+    elif args.cmd == "run-all":
+        report = run_maintenance_lifecycle(
+            spark,
+            args.path,
+            partition_col=args.partition_col,
+            before=date.fromisoformat(args.before) if args.before else None,
+            zorder_cols=args.cols.split(",") if args.cols else None,
+            bits=args.bits,
             target_file_bytes=args.target_file_mb * 1024 * 1024,
         )
     else:

@@ -1,0 +1,133 @@
+"""Benchmark decontamination — remove training documents that share any
+word n-gram (default 13, the published GPT-3/PaLM convention) with an
+evaluation/benchmark set. The training-data op that protects eval
+integrity: a contaminated document leaks test answers into the corpus,
+and at 100 TB the removal has to be a broadcast filter, not a
+corpus-side shuffle.
+
+Scale shape (asserted by tests/test_plan_shapes-style checks in
+tests/test_decontam.py):
+
+- the BENCHMARK side is small by construction (eval sets are thousands
+  of documents): its distinct n-grams aggregate locally and BROADCAST;
+- the corpus side explodes its n-grams (a projection — no shuffle) into
+  a broadcast LEFT-SEMI join; only matched (doc_id) survivors — the
+  contaminated few — are distinct-aggregated (a shuffle of the SMALL
+  hit set, not the corpus);
+- the final keep is a broadcast LEFT-ANTI join of the corpus against
+  that tiny contaminated-id set. Raw text crosses zero exchanges.
+
+Joins are on the n-gram STRING (exactly re-derivable in the DuckDB
+oracle). ``use_hash=True`` joins on ``xxhash64(gram)`` instead — 8
+bytes per broadcast entry instead of ~80 for a 13-gram, the right
+setting when the benchmark n-gram set is tens of millions; pytest pins
+hash-mode equality to string mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from otel_logger_spark.functions.repetition import ngram_join_expr
+
+DEFAULT_N = 13
+
+
+def _grams(df: DataFrame, cols: list[str], text_col: str, n: int,
+           use_hash: bool) -> DataFrame:
+    """One row per (cols..., n-gram) — exploded first (a generator can't
+    nest inside another expression), hashed in a follow-up projection
+    when requested."""
+    g = df.select(
+        *cols,
+        F.explode(
+            F.expr(ngram_join_expr(f"split({text_col}, ' ')", n))
+        ).alias("_g"),
+    )
+    return g.withColumn("_g", F.xxhash64("_g")) if use_hash else g
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_hash: bool = False,
+) -> DataFrame:
+    """Distinct ``id_col`` of every training document sharing at least
+    one word n-gram with ``bench``. Documents shorter than n words can
+    never be contaminated (they have no n-grams)."""
+    bench_grams = _grams(bench, [], text_col, n, use_hash).distinct()
+    doc_grams = _grams(docs, [id_col], text_col, n, use_hash)
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_hash: bool = False,
+) -> DataFrame:
+    """``docs`` minus every document contaminated against ``bench`` —
+    schema unchanged, broadcast-anti semantics."""
+    hits = contaminated_ids(docs, bench, n, id_col, text_col, use_hash)
+    return docs.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def decontam_summary(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_N,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_hash: bool = False,
+) -> DataFrame:
+    """Per-``group_col`` audit: (group, n_docs, n_contaminated, n_kept)
+    — the removal accounting a pipeline records before dropping data."""
+    hits = contaminated_ids(docs, bench, n, id_col, text_col, use_hash)
+    marked = docs.join(
+        F.broadcast(hits.withColumn("_hit", F.lit(1))), id_col, "left"
+    )
+    return marked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+def decontam_summary_sql(
+    docs_cte: str = "train",
+    bench_cte: str = "bench",
+    n: int = DEFAULT_N,
+    group_col: str = "source",
+) -> str:
+    """DuckDB re-derivation over CTEs ``train(doc_id, source, text)`` and
+    ``bench(text)`` — identical tokenization (split on single space),
+    identical n-gram windows, string-equality contamination."""
+    words = "string_split(text, ' ')"
+    grams = (
+        f"list_transform(range(1, len({words}) - {n - 2}), "
+        f"i -> array_to_string({words}[i:i+{n - 1}], ' '))"
+    )
+    return f""",
+ bg AS (SELECT DISTINCT unnest({grams}) AS g FROM {bench_cte}
+        WHERE len({words}) >= {n}),
+ tg AS (SELECT doc_id, unnest({grams}) AS g FROM {docs_cte}
+        WHERE len({words}) >= {n}),
+ hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))
+ SELECT t.{group_col}, COUNT(*) AS n_docs,
+   CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+     AS n_contaminated,
+   CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+     AS n_kept
+ FROM {docs_cte} t LEFT JOIN hits h ON h.doc_id = t.doc_id
+ GROUP BY 1"""

@@ -629,6 +629,68 @@ FROM documents
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality metrics per document
+    (functions/repetition.py): duplicate-line fraction, top-bigram
+    multiplicity, duplicate-5-gram fraction — all integer milli-
+    fractions; the oracle re-derives each over DuckDB list functions
+    with the identical tokenization and integer arithmetic."""
+    from otel_logger_spark.functions.repetition import with_repetition_stats
+
+    docs = with_repetition_stats(_load_documents(spark, sf_dir))
+    return docs.select(
+        "doc_id", "n_lines", "dup_line_milli", "top_bigram_n",
+        "top_bigram_milli", "dup_5gram_milli",
+        F.col("repetition_flagged").cast("int").alias("flagged"),
+    )
+
+
+def _o_doc_repetition() -> str:
+    from otel_logger_spark.functions.repetition import (
+        GOPHER_THRESHOLDS_MILLI,
+        repetition_stats_sql,
+    )
+
+    m = repetition_stats_sql("text")
+    flag = " OR ".join(
+        f"({m[col]}) > {thr}" for col, thr in GOPHER_THRESHOLDS_MILLI.items()
+    )
+    return f"""
+SELECT doc_id, {m['n_lines']} AS n_lines,
+  {m['dup_line_milli']} AS dup_line_milli,
+  {m['top_bigram_n']} AS top_bigram_n,
+  {m['top_bigram_milli']} AS top_bigram_milli,
+  {m['dup_5gram_milli']} AS dup_5gram_milli,
+  CAST({flag} AS INT) AS flagged
+FROM documents
+"""
+
+
+def q_decontam_split(spark, sf_dir):
+    """Benchmark decontamination audit (functions/decontam.py): docs with
+    doc_id % 7 == 0 act as the evaluation set, the rest as training;
+    report per-source how many training docs share a 13-gram with the
+    benchmark and how many survive. Broadcast-only plan — raw text never
+    shuffles (tests/test_decontam.py asserts the join strategies)."""
+    from otel_logger_spark.functions.decontam import decontam_summary
+
+    docs = _load_documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontam_summary(train, bench, n=13, group_col="source")
+
+
+def _o_decontam_split() -> str:
+    from otel_logger_spark.functions.decontam import decontam_summary_sql
+
+    return (
+        "WITH train AS (SELECT doc_id, source, text FROM documents "
+        "WHERE doc_id % 7 <> 0), "
+        "bench AS (SELECT text FROM documents WHERE doc_id % 7 = 0)"
+        + decontam_summary_sql("train", "bench", n=13, group_col="source")
+    )
+
+
 QUERIES_C = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_drop_exact": q_dedup_drop_exact,
@@ -649,6 +711,8 @@ QUERIES_C = {
     "multimodal_decode": q_multimodal_decode,
     "pii_redaction": q_pii_redaction,
     "pack_shards": q_pack_shards,
+    "doc_repetition": q_doc_repetition,
+    "decontam_split": q_decontam_split,
 }
 
 ORACLES_C = {
@@ -670,6 +734,8 @@ ORACLES_C = {
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "pii_redaction": _o_pii_redaction(),
     "pack_shards": O_PACK_SHARDS,
+    "doc_repetition": _o_doc_repetition(),
+    "decontam_split": _o_decontam_split(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

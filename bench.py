@@ -147,6 +147,9 @@ def main():
             run("rate_spikes", lambda: QX.q_rate_spikes(spark, sf_dir).collect())
             run("pii_redaction", lambda: QT.q_pii_redaction(spark, sf_dir).collect())
             run("pack_shards", lambda: QT.q_pack_shards(spark, sf_dir).count())
+            run("doc_repetition", lambda: QT.q_doc_repetition(spark, sf_dir).count())
+            run("decontam_split", lambda: QT.q_decontam_split(spark, sf_dir).collect())
+            run("incremental_dedup", lambda: QT.q_incremental_dedup(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -691,6 +691,36 @@ def _o_decontam_split() -> str:
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a new batch against the already-ingested
+    history (functions/bloom.py): the corpus originals (doc_id < 100000)
+    act as the history, the injected blocks (>= 100000) as the arriving
+    batch — the exact-duplicate block must drop, the ' zz extra' modified
+    block must survive. The Bloom prefilter cannot change results (no
+    false negatives), so the oracle is the plain exact anti-join."""
+    from otel_logger_spark.functions.bloom import dedup_against_history
+
+    corpus = load_corpus(spark, sf_dir)
+    hist = corpus.filter(F.col("doc_id") < 100000)
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    kept = dedup_against_history(batch, hist, m_bits=1 << 16, k=5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+O_INCREMENTAL_DEDUP = (
+    corpus_cte()
+    + """
+ , hist AS (SELECT text FROM corpus WHERE doc_id < 100000),
+ batch AS (SELECT doc_id, source, text FROM corpus WHERE doc_id >= 100000)
+ SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+ FROM batch b
+ WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = b.text)
+ GROUP BY source"""
+)
+
+
 QUERIES_C = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_drop_exact": q_dedup_drop_exact,
@@ -713,6 +743,7 @@ QUERIES_C = {
     "pack_shards": q_pack_shards,
     "doc_repetition": q_doc_repetition,
     "decontam_split": q_decontam_split,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES_C = {
@@ -736,6 +767,7 @@ ORACLES_C = {
     "pack_shards": O_PACK_SHARDS,
     "doc_repetition": _o_doc_repetition(),
     "decontam_split": _o_decontam_split(),
+    "incremental_dedup": O_INCREMENTAL_DEDUP,
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

@@ -1,0 +1,130 @@
+"""Incremental dedup against history (functions/bloom.py): bloom-vs-none
+result identity, no-false-negative property under randomized content,
+accounting invariants, the precomputed-digest-store path, sizing guards,
+plan shape (codegen-only prefilter), and oracle parity at a second SF."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from otel_logger_spark.functions.bloom import (
+    bloom_params,
+    build_bloom,
+    dedup_against_history,
+    incremental_dedup_stats,
+)
+from otel_logger_spark.plans.audit import shape
+
+
+def _frames(spark, n_hist=400, n_dup=60, n_new=40, seed=7):
+    rng = random.Random(seed)
+    hist_rows = [(i, f"history doc {i} " + " ".join(
+        rng.choice("a b c d e f".split()) for _ in range(6)
+    )) for i in range(n_hist)]
+    dup_rows = [(10_000 + i, hist_rows[rng.randrange(n_hist)][1]) for i in range(n_dup)]
+    new_rows = [(20_000 + i, f"fresh content {i} never seen") for i in range(n_new)]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(dup_rows + new_rows, "doc_id long, text string")
+    return hist, batch, {r[0] for r in new_rows}
+
+
+def test_bloom_equals_none_equals_exact(spark):
+    hist, batch, new_ids = _frames(spark)
+    kept_bloom = {r["doc_id"] for r in
+                  dedup_against_history(batch, hist, m_bits=1 << 12, k=5).collect()}
+    kept_none = {r["doc_id"] for r in
+                 dedup_against_history(batch, hist, prefilter="none").collect()}
+    assert kept_bloom == kept_none == new_ids
+
+
+def test_no_false_negatives_randomized(spark):
+    """Every true duplicate must drop regardless of bloom sizing — even a
+    deliberately tiny, saturated bitmap (m=64) only costs false
+    positives, never a missed duplicate."""
+    hist, batch, new_ids = _frames(spark, seed=99)
+    for m_bits, k in ((64, 1), (128, 3), (1 << 14, 7)):
+        kept = {r["doc_id"] for r in
+                dedup_against_history(batch, hist, m_bits=m_bits, k=k).collect()}
+        assert kept == new_ids, (m_bits, k)
+
+
+def test_stats_invariants_and_pruning(spark):
+    hist, batch, new_ids = _frames(spark)
+    s = incremental_dedup_stats(batch, hist, m_bits=1 << 14, k=5).collect()[0]
+    n_dups = s["n_batch"] - len(new_ids)
+    assert s["n_dropped"] == n_dups
+    assert s["n_kept"] == len(new_ids)
+    assert s["bloom_false_positives"] == s["n_candidates"] - s["n_dropped"] >= 0
+    # pruning evidence: at this sizing the verify join sees far fewer
+    # rows than the batch (all true dups + at most a few fp)
+    assert s["n_candidates"] < s["n_batch"]
+    assert s["n_candidates"] >= n_dups
+
+
+def test_digest_store_path_equals_text_path(spark):
+    """The realistic 100 TB shape — history as a precomputed sha2 digest
+    table — selects the same keep set as hashing raw history text."""
+    hist, batch, new_ids = _frames(spark)
+    store = hist.select(F.sha2("text", 256).alias("digest"))
+    kept = {r["doc_id"] for r in dedup_against_history(
+        batch, store, m_bits=1 << 12, k=5, history_digest_col="digest"
+    ).collect()}
+    assert kept == new_ids
+
+
+def test_empty_history_keeps_everything(spark):
+    hist = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    assert dedup_against_history(batch, hist, m_bits=64, k=1).count() == 2
+    assert dedup_against_history(batch, hist, prefilter="none").count() == 2
+    assert build_bloom(hist, m_bits=128, k=2) == [0, 0]
+
+
+def test_sizing_guards():
+    m, k = bloom_params(14_000_000, 0.01)
+    assert m % 64 == 0 and m <= (1 << 27) and 5 <= k <= 10
+    assert bloom_params(0) == (64, 1)
+    with pytest.raises(ValueError):
+        bloom_params(200_000_000, 0.01)  # past the 16 MiB driver bound
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_m_bits_validation(spark):
+    hist = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        build_bloom(hist, m_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        dedup_against_history(hist, hist, m_bits=1 << 28)
+    with pytest.raises(ValueError):
+        dedup_against_history(hist, hist, prefilter="maybe")
+
+
+def test_prefilter_is_codegen_only(spark):
+    """The bloom membership test adds NO join and NO Python stage: the
+    plan's joins are exactly the digest semi + id anti the exact path
+    needs, and the bitmap test lives in a codegen filter."""
+    hist, batch, _ = _frames(spark)
+    s = shape(dedup_against_history(batch, hist, m_bits=1 << 12, k=5))
+    assert len(s["joins"]) == 2
+    assert s["python_stages"] == 0
+
+
+def test_incremental_dedup_oracle_parity_sf0001(spark):
+    """Full oracle parity at a second SF (the driver gate runs sf0.01)."""
+    from otel_logger_spark.queries_training import (
+        O_INCREMENTAL_DEDUP,
+        q_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    exp = {tuple(r) for r in con.sql(O_INCREMENTAL_DEDUP).fetchall()}
+    got = {
+        (r["source"], r["n_kept"], r["sum_ids"])
+        for r in q_incremental_dedup(spark, sf).collect()
+    }
+    assert got == exp and len(got) > 0

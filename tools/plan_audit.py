@@ -105,6 +105,22 @@ COMMENT = {
         "branches (Catalyst has no cross-branch CSE: a union would "
         "re-run every regex per branch). Exchanges: the narrow-input "
         "fan-out repartition + the tiny report aggregate."),
+    "decontam_split": (
+        "benchmark decontamination: the bench 13-grams broadcast into a "
+        "semi-join against the exploded corpus grams, and the (tiny) "
+        "contaminated-id set broadcasts into the final anti-join — raw "
+        "corpus text crosses ZERO exchanges at any corpus size; only "
+        "13-gram strings and ids move."),
+    "incremental_dedup": (
+        "dedup against the ingested history: the history collapses to a "
+        "Bloom bitmap (one bit_or aggregate over <= m/64 word slots) that "
+        "re-broadcasts as an array literal, so the prefilter is a pure "
+        "codegen filter on the batch — no join, no shuffle, no Python. "
+        "Only bloom candidates' (id, digest) pairs reach the exact "
+        "digest semi-join; history text is projected to its digest "
+        "before anything wide, and a miss (the overwhelming case at "
+        "100 TB where most arriving content is new) costs k hash "
+        "probes and zero join rows."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -168,6 +184,13 @@ def main():
 
     dfs["zorder_buckets"] = q_zorder_buckets(spark, sf_dir)
     dfs["pii_redaction"] = q_pii_redaction(spark, sf_dir)
+    from otel_logger_spark.queries_training import (
+        q_decontam_split,
+        q_incremental_dedup,
+    )
+
+    dfs["decontam_split"] = q_decontam_split(spark, sf_dir)
+    dfs["incremental_dedup"] = q_incremental_dedup(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

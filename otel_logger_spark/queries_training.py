@@ -721,6 +721,21 @@ O_INCREMENTAL_DEDUP = (
 )
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 salient terms per document (functions/tfidf.py) — the
+    division-free integer TF-IDF variant; the oracle replays the exact
+    same tokenization, integer idf and tie order in DuckDB."""
+    from otel_logger_spark.functions.tfidf import salient_terms
+
+    return salient_terms(_load_documents(spark, sf_dir), k=3)
+
+
+def _o_tfidf_terms() -> str:
+    from otel_logger_spark.functions.tfidf import salient_terms_sql
+
+    return "WITH" + salient_terms_sql("documents", k=3)
+
+
 QUERIES_C = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_drop_exact": q_dedup_drop_exact,
@@ -744,6 +759,7 @@ QUERIES_C = {
     "doc_repetition": q_doc_repetition,
     "decontam_split": q_decontam_split,
     "incremental_dedup": q_incremental_dedup,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 ORACLES_C = {
@@ -768,6 +784,7 @@ ORACLES_C = {
     "doc_repetition": _o_doc_repetition(),
     "decontam_split": _o_decontam_split(),
     "incremental_dedup": O_INCREMENTAL_DEDUP,
+    "tfidf_terms": _o_tfidf_terms(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

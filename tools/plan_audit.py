@@ -121,6 +121,14 @@ COMMENT = {
         "before anything wide, and a miss (the overwhelming case at "
         "100 TB where most arriving content is new) costs k hash "
         "probes and zero join rows."),
+    "tfidf_terms": (
+        "salient terms: two aggregate exchanges the math requires (tf on "
+        "(doc, term), df on term) + the term-keyed equi-join (AQE "
+        "broadcasts the vocabulary at small scale, SMJ on the shared "
+        "term key beyond) + one bounded per-doc window. Scoring is "
+        "division-free integer codegen with an in-plan int64 guard; "
+        "stopword skew is handled by max_df + df_cap_report, never "
+        "silently."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -191,6 +199,9 @@ def main():
 
     dfs["decontam_split"] = q_decontam_split(spark, sf_dir)
     dfs["incremental_dedup"] = q_incremental_dedup(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_tfidf_terms
+
+    dfs["tfidf_terms"] = q_tfidf_terms(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

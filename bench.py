@@ -151,6 +151,7 @@ def main():
             run("decontam_split", lambda: QT.q_decontam_split(spark, sf_dir).collect())
             run("incremental_dedup", lambda: QT.q_incremental_dedup(spark, sf_dir).collect())
             run("tfidf_terms", lambda: QT.q_tfidf_terms(spark, sf_dir).count())
+            run("span_dedup", lambda: QT.q_span_dedup(spark, sf_dir).count())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -736,6 +736,22 @@ def _o_tfidf_terms() -> str:
     return "WITH" + salient_terms_sql("documents", k=3)
 
 
+def q_span_dedup(spark, sf_dir):
+    """Per-document span-level exact-substring duplication accounting
+    (functions/spandedup.py, the Lee-et-al ExactSubstr family): 8-token
+    windows duplicated across >= 2 distinct docs, interval-union token
+    coverage, integer milli fraction."""
+    from otel_logger_spark.functions.spandedup import span_dedup_stats
+
+    return span_dedup_stats(_load_documents(spark, sf_dir), n=8)
+
+
+def _o_span_dedup() -> str:
+    from otel_logger_spark.functions.spandedup import span_dedup_sql
+
+    return span_dedup_sql("documents", n=8)
+
+
 QUERIES_C = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_drop_exact": q_dedup_drop_exact,
@@ -760,6 +776,7 @@ QUERIES_C = {
     "decontam_split": q_decontam_split,
     "incremental_dedup": q_incremental_dedup,
     "tfidf_terms": q_tfidf_terms,
+    "span_dedup": q_span_dedup,
 }
 
 ORACLES_C = {
@@ -785,6 +802,7 @@ ORACLES_C = {
     "decontam_split": _o_decontam_split(),
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "tfidf_terms": _o_tfidf_terms(),
+    "span_dedup": _o_span_dedup(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

@@ -129,6 +129,14 @@ COMMENT = {
         "division-free integer codegen with an in-plan int64 guard; "
         "stopword skew is handled by max_df + df_cap_report, never "
         "silently."),
+    "span_dedup": (
+        "span-level exact-substring dedup: raw text is consumed at the "
+        "scan (window explode is a projection); the one corpus-sized "
+        "shuffle is the window-content agg (min!=max, full map-side "
+        "partials, no distinct set), and use_hash=True turns its key "
+        "into 8 bytes. Coverage is a per-doc window + agg over the "
+        "SMALL duplicated-start survivor set; the final join back to "
+        "the narrow doc base ships only integers. No Python anywhere."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -202,6 +210,9 @@ def main():
     from otel_logger_spark.queries_training import q_tfidf_terms
 
     dfs["tfidf_terms"] = q_tfidf_terms(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_span_dedup
+
+    dfs["span_dedup"] = q_span_dedup(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

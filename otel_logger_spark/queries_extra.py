@@ -369,7 +369,36 @@ SELECT zv // 67108864 AS z_bucket, COUNT(*) AS n,
 FROM z GROUP BY 1"""
 
 
+def q_exact_percentiles(spark, sf_dir):
+    """Exact per-event-type p50/p95/p99 of value (in micros) WITHOUT a
+    global sort: iterative histogram refinement (functions/quantiles.py)
+    — each round one aggregate job, range filters pushed to the scan.
+    The oracle derives the identical rank (ceil(q*n/1000), 1-based,
+    ascending) via row_number."""
+    from otel_logger_spark.functions.quantiles import exact_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("value_micros"),
+    )
+    return exact_quantiles(
+        ev, "value_micros", [500, 950, 990], group_col="event_type"
+    )
+
+
+def _o_exact_percentiles() -> str:
+    from otel_logger_spark.functions.quantiles import exact_quantiles_sql
+
+    return exact_quantiles_sql(
+        "events",
+        "CAST(floor(value * 1000000.0) AS BIGINT)",
+        [500, 950, 990],
+        group_col="event_type",
+    )
+
+
 QUERIES_X = {
+    "exact_percentiles": q_exact_percentiles,
     "zorder_buckets": q_zorder_buckets,
     "median_gap": q_median_gap,
     "rate_spikes": q_rate_spikes,
@@ -384,6 +413,7 @@ QUERIES_X = {
 }
 
 ORACLES_X = {
+    "exact_percentiles": _o_exact_percentiles(),
     "zorder_buckets": _o_zorder_buckets(),
     "median_gap": O_MEDIAN_GAP,
     "rate_spikes": _o_rate_spikes(),

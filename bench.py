@@ -153,6 +153,7 @@ def main():
             run("tfidf_terms", lambda: QT.q_tfidf_terms(spark, sf_dir).count())
             run("span_dedup", lambda: QT.q_span_dedup(spark, sf_dir).count())
             run("exact_percentiles", lambda: QX.q_exact_percentiles(spark, sf_dir).collect())
+            run("snapshot_diff", lambda: QT.q_snapshot_diff(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -752,6 +752,62 @@ def _o_span_dedup() -> str:
     return span_dedup_sql("documents", n=8)
 
 
+def _snapshot_pair(spark, sf_dir):
+    """Deterministic second generation of the documents table: drop
+    doc_id%13==0, append ' [v2]' to text when doc_id%17==0, add new ids
+    (+10,000,000) for doc_id%11==0 — replayed rule-for-rule in SQL."""
+    old = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mutated = old.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = old.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return old, mutated.unionByName(added)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Generation-over-generation audit (operators/diff.py): per-source
+    added/removed/changed/unchanged counts between the documents table
+    and its deterministically mutated second generation. Digest mode —
+    the oracle replays the xxhash64 content digest bit-for-bit."""
+    from otel_logger_spark.operators.diff import snapshot_diff_summary
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff_summary(
+        old, new, ["doc_id"],
+        compare_cols=["text", "lang", "source", "n_chars"],
+        group_col="source",
+    )
+
+
+def _o_snapshot_diff() -> str:
+    from otel_logger_spark.operators.diff import snapshot_diff_summary_sql
+
+    body = snapshot_diff_summary_sql(
+        "old_s", "new_s", "doc_id",
+        compare_cols=["text", "lang", "source", "n_chars"],
+        group_col="source",
+    )
+    return (
+        """
+WITH old_s AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+ new_s AS (
+   SELECT doc_id,
+          CASE WHEN doc_id % 17 = 0 THEN text || ' [v2]' ELSE text END AS text,
+          lang, source, n_chars
+   FROM documents WHERE doc_id % 13 <> 0
+   UNION ALL
+   SELECT doc_id + 10000000, text, lang, source, n_chars
+   FROM documents WHERE doc_id % 11 = 0)"""
+        + body
+    )
+
+
 QUERIES_C = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_drop_exact": q_dedup_drop_exact,
@@ -777,6 +833,7 @@ QUERIES_C = {
     "incremental_dedup": q_incremental_dedup,
     "tfidf_terms": q_tfidf_terms,
     "span_dedup": q_span_dedup,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES_C = {
@@ -803,6 +860,7 @@ ORACLES_C = {
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "tfidf_terms": _o_tfidf_terms(),
     "span_dedup": _o_span_dedup(),
+    "snapshot_diff": _o_snapshot_diff(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

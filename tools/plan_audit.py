@@ -137,6 +137,12 @@ COMMENT = {
         "into 8 bytes. Coverage is a per-doc window + agg over the "
         "SMALL duplicated-start survivor set; the final join back to "
         "the narrow doc base ships only integers. No Python anywhere."),
+    "snapshot_diff": (
+        "generation diff: each side reduces to (key, xxhash64 digest) "
+        "AT THE SCAN — ~24 bytes/row cross the one full-outer SMJ "
+        "however wide the table is; classification and the summary agg "
+        "run on integers. Generations bucketed on the key diff with "
+        "ZERO exchanges (pinned by tests/test_snapshot_diff.py)."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -213,6 +219,9 @@ def main():
     from otel_logger_spark.queries_training import q_span_dedup
 
     dfs["span_dedup"] = q_span_dedup(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_snapshot_diff
+
+    dfs["snapshot_diff"] = q_snapshot_diff(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

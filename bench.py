@@ -154,6 +154,7 @@ def main():
             run("span_dedup", lambda: QT.q_span_dedup(spark, sf_dir).count())
             run("exact_percentiles", lambda: QX.q_exact_percentiles(spark, sf_dir).collect())
             run("snapshot_diff", lambda: QT.q_snapshot_diff(spark, sf_dir).collect())
+            run("cms_counts", lambda: QX.q_cms_counts(spark, sf_dir).count())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -397,7 +397,39 @@ def _o_exact_percentiles() -> str:
     )
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch point estimates vs exact counts
+    (functions/cms.py) over a bounded key domain (event_type x
+    user_id%97): (k, est, exact) with est >= exact guaranteed. The
+    oracle replays the per-row XXH64 hashing, low-bit bucketing, cell
+    counts and min-over-rows bit-for-bit."""
+    from otel_logger_spark.functions.cms import cms_estimate, cms_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat_ws(
+            "|", "event_type", (F.col("user_id") % 97).cast("string")
+        ).alias("k")
+    )
+    sketch = cms_sketch(ev, "k", d=4, w=512)
+    est = cms_estimate(sketch, ev, "k", d=4, w=512)
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "k")
+
+
+def _o_cms_counts() -> str:
+    from otel_logger_spark.functions.cms import cms_counts_sql
+
+    return (
+        """
+WITH keyse AS (
+  SELECT event_type || '|' || CAST(user_id % 97 AS VARCHAR) AS k
+  FROM events)"""
+        + cms_counts_sql("keyse", d=4, w=512)
+    )
+
+
 QUERIES_X = {
+    "cms_counts": q_cms_counts,
     "exact_percentiles": q_exact_percentiles,
     "zorder_buckets": q_zorder_buckets,
     "median_gap": q_median_gap,
@@ -413,6 +445,7 @@ QUERIES_X = {
 }
 
 ORACLES_X = {
+    "cms_counts": _o_cms_counts(),
     "exact_percentiles": _o_exact_percentiles(),
     "zorder_buckets": _o_zorder_buckets(),
     "median_gap": O_MEDIAN_GAP,

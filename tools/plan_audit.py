@@ -137,6 +137,13 @@ COMMENT = {
         "into 8 bytes. Coverage is a per-doc window + agg over the "
         "SMALL duplicated-start survivor set; the final join back to "
         "the narrow doc base ships only integers. No Python anywhere."),
+    "cms_counts": (
+        "count-min sketch: the sketch is ONE aggregation (explode d "
+        "rows/input -> groupBy (row, low-bits bucket) with map-side "
+        "partials -> <= d*w cells whatever N is); estimates broadcast "
+        "the tiny sketch against the candidates. The gate's exact "
+        "column is verification-only — production uses the sketch "
+        "precisely to avoid that full groupBy."),
     "snapshot_diff": (
         "generation diff: each side reduces to (key, xxhash64 digest) "
         "AT THE SCAN — ~24 bytes/row cross the one full-outer SMJ "
@@ -222,6 +229,9 @@ def main():
     from otel_logger_spark.queries_training import q_snapshot_diff
 
     dfs["snapshot_diff"] = q_snapshot_diff(spark, sf_dir)
+    from otel_logger_spark.queries_extra import q_cms_counts
+
+    dfs["cms_counts"] = q_cms_counts(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

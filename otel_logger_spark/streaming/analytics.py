@@ -32,11 +32,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from otel_logger_spark.functions.cms import cms_sketch
 from otel_logger_spark.functions.templates import with_template
 from otel_logger_spark.operators.anomaly import spikes_from_bucket_counts
 
 TEMPLATE_SINK = "template_partials"
 RATE_SINK = "rate_partials"
+CMS_SINK = "cms_partials"
 
 
 def template_partials(
@@ -74,8 +76,14 @@ def write_analytics_batch(
     ts_col: str = "ts",
     group_cols: tuple[str, ...] = ("role",),
     bucket_seconds: int = 3600,
+    cms_key_col: str | None = "conv_id",
+    cms_d: int = 4,
+    cms_w: int = 512,
 ) -> None:
-    """One micro-batch's analytics partials, batchId-idempotent."""
+    """One micro-batch's analytics partials, batchId-idempotent. The CMS
+    partial is the per-batch sketch itself (<= d*w cells): cms_merge's
+    cell-wise-sum law makes the union of batch sketches EXACTLY the
+    sketch of the union, whatever the micro-batch boundaries were."""
     batch_df = batch_df.persist()
     try:
         template_partials(batch_df, text_col, conv_col).write.mode(
@@ -84,6 +92,10 @@ def write_analytics_batch(
         rate_partials(batch_df, ts_col, group_cols, bucket_seconds).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, RATE_SINK, f"batchid={batch_id}"))
+        if cms_key_col:
+            cms_sketch(batch_df, cms_key_col, cms_d, cms_w).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, CMS_SINK, f"batchid={batch_id}"))
     finally:
         batch_df.unpersist()
 
@@ -98,8 +110,9 @@ def run_streaming_analytics(
     max_files_per_trigger: int | None = None,
     group_cols: tuple[str, ...] = ("role",),
     bucket_seconds: int = 3600,
+    cms_key_col: str | None = "conv_id",
 ):
-    """Run both analytics partial sinks over the live transcript stream;
+    """Run the analytics partial sinks over the live transcript stream;
     returns the started query. Same trigger semantics as
     run_streaming_pipeline (availableNow drains then stops)."""
     from otel_logger_spark.streaming.pipeline import read_transcript_stream
@@ -111,6 +124,7 @@ def run_streaming_analytics(
         write_analytics_batch(
             batch_df, batch_id, out_dir,
             group_cols=group_cols, bucket_seconds=bucket_seconds,
+            cms_key_col=cms_key_col,
         )
 
     writer = src.writeStream.foreachBatch(write_batch).option(
@@ -121,6 +135,15 @@ def run_streaming_analytics(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def read_cms_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Finalize the CMS sink: cell-wise sum over all micro-batch
+    sketches — by the merge law this IS functions/cms.cms_sketch of the
+    full stream, row-for-row (pinned by pytest), ready for
+    cms_estimate/cms_heavy_hitters."""
+    parts = spark.read.parquet(os.path.join(out_dir, CMS_SINK))
+    return parts.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def read_template_counts(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -96,6 +96,20 @@ def test_streaming_analytics_matches_batch(spark, tmp_path):
     assert got_r == exp_r and len(got_r) == 1
     assert got_r[0][0] == "a" and got_r[0][2] == 9
 
+    # CMS parity: the union of per-batch sketches IS the batch sketch
+    # (cell-wise merge law), so estimates agree key-for-key too
+    from otel_logger_spark.functions.cms import cms_estimate, cms_sketch
+    from otel_logger_spark.streaming.analytics import read_cms_sketch
+
+    got_s = sorted(map(tuple, read_cms_sketch(spark, out).collect()))
+    exp_s = sorted(map(tuple, cms_sketch(static, "conv_id").collect()))
+    assert got_s == exp_s and len(got_s) > 0
+    got_e = sorted(map(tuple, cms_estimate(
+        read_cms_sketch(spark, out), static, "conv_id").collect()))
+    exp_e = sorted(map(tuple, cms_estimate(
+        cms_sketch(static, "conv_id"), static, "conv_id").collect()))
+    assert got_e == exp_e
+
 
 def test_streaming_analytics_batch_retry_is_idempotent(spark, tmp_path):
     """Re-running a batch id (redelivery after a failure between sink

@@ -155,6 +155,7 @@ def main():
             run("exact_percentiles", lambda: QX.q_exact_percentiles(spark, sf_dir).collect())
             run("snapshot_diff", lambda: QT.q_snapshot_diff(spark, sf_dir).collect())
             run("cms_counts", lambda: QX.q_cms_counts(spark, sf_dir).count())
+            run("dedup_canonical", lambda: QT.q_dedup_canonical(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

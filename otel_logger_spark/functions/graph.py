@@ -31,7 +31,7 @@ Two algorithms behind one API (``algorithm=``):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -163,6 +163,32 @@ def _two_phase_cc(labels: DataFrame, sym: DataFrame, max_iter: int) -> DataFrame
         .join(lab, labels["node"] == lab["hi"], "left")
         .select("node", F.coalesce("_root", "node").alias("label"))
     )
+
+
+def canonical_keep(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "quality_milli",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keeper selection — the step after ``dedup_clusters``
+    that turns families into a keep-list: per cluster, keep the member
+    with the HIGHEST ``quality_col`` (ties to the smallest id, so the
+    choice is deterministic and degenerates to dedup_clusters' min-id
+    rule when quality is constant). Returns ``docs``'s columns +
+    cluster_id, cluster_size, is_canonical; downstream filters
+    ``is_canonical``.
+
+    Scale shape: ``docs`` should be projected narrow (id, quality, carry
+    columns) by the caller — the join ships integers, and the single
+    window partitions by cluster_id, where near-dup clusters are small
+    by construction (LSH-verified families), so no straggler key.
+    """
+    j = clusters.join(docs, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return j.withColumn("is_canonical", F.row_number().over(w) == 1)
 
 
 def dedup_clusters(

@@ -147,6 +147,70 @@ def q_dedup_clusters_two_phase(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end dedup KEEP-LIST: pairs -> connected components ->
+    quality-aware canonical pick (functions/graph.canonical_keep: max
+    quality_milli per family, ties to min doc_id) -> per-source keep
+    accounting. Composes three independently-oracled operators; the
+    oracle recomputes the whole chain (recursive-CTE closure + the
+    integer quality formula + the same argmax tie order)."""
+    from otel_logger_spark.functions.graph import canonical_keep, dedup_clusters
+    from otel_logger_spark.functions.text import with_quality
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    clusters = dedup_clusters(
+        corpus.select("doc_id"), pairs.select("doc_a", "doc_b")
+    )
+    narrow = with_quality(corpus).select("doc_id", "source", "quality_milli")
+    kept = canonical_keep(narrow, clusters)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("is_canonical"), F.col("doc_id")).otherwise(0)
+        ).alias("sum_kept_ids"),
+    )
+
+
+O_DEDUP_CANONICAL = (
+    corpus_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _NGRAM_CHAIN
+    + """
+ , pairs AS (
+   SELECT doc_a, doc_b FROM common
+   JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+   WHERE FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= 500),
+ edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+ reach(node, label) AS (
+   SELECT doc_id, doc_id FROM corpus
+   UNION
+   SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u),
+ lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+ d AS (
+   SELECT doc_id, source, length(text) AS n_chars,
+     len(string_split(text, ' ')) AS n_tokens,
+     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+     (SELECT {MARKERS} FROM (SELECT ' ' || text || ' ' AS p)) AS n_stopwords
+   FROM corpus),
+ q AS (SELECT doc_id, source,
+   (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 400 ELSE 0 END
+    + least(CAST(FLOOR(1000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT), 300)
+    + CAST(FLOOR(FLOOR(1000 * n_alpha / greatest(n_chars, 1)) * 300 / 1000) AS BIGINT)
+   ) AS quality_milli FROM d),
+ ranked AS (
+   SELECT q.source, q.doc_id,
+     row_number() OVER (PARTITION BY l.cluster_id
+                        ORDER BY q.quality_milli DESC, q.doc_id ASC) AS rn
+   FROM lab l JOIN q ON q.doc_id = l.doc_id)
+ SELECT source, COUNT(*) AS n_docs,
+   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+   CAST(SUM(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+ FROM ranked GROUP BY 1"""
+)
+
+
 def q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sample (functions/sampling.py):
     per-source Bernoulli keep via the engine-portable Knuth multiplicative
@@ -834,6 +898,7 @@ QUERIES_C = {
     "tfidf_terms": q_tfidf_terms,
     "span_dedup": q_span_dedup,
     "snapshot_diff": q_snapshot_diff,
+    "dedup_canonical": q_dedup_canonical,
 }
 
 ORACLES_C = {
@@ -861,6 +926,9 @@ ORACLES_C = {
     "tfidf_terms": _o_tfidf_terms(),
     "span_dedup": _o_span_dedup(),
     "snapshot_diff": _o_snapshot_diff(),
+    # {MARKERS} resolves here: _ALL_MARKERS_SQL is defined below the
+    # oracle template in this module
+    "dedup_canonical": O_DEDUP_CANONICAL.replace("{MARKERS}", _ALL_MARKERS_SQL),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

@@ -179,15 +179,21 @@ def trim_duplicated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_flagged: bool = False,
 ) -> DataFrame:
     """Rebuild ``text_col`` with every token covered by a duplicated
     window removed (the ExactSubstr removal, at token granularity).
     Clean documents pass through byte-identical.
 
-    Cost note: the token mask is exists() over the doc's duplicated-start
-    array — O(n_tokens * dup_starts) per FLAGGED doc only; clean docs
-    take the left-join null branch. The flagged (id, starts[]) side is
-    small and broadcasts, so corpus text still crosses zero exchanges.
+    Cost notes: the token mask is exists() over the doc's duplicated-
+    start array — O(n_tokens * dup_starts) per FLAGGED doc only; clean
+    docs take the left-join null branch. The flagged (id, starts[]) side
+    joins as a plain id-keyed left join by default: on a boilerplate-
+    heavy web corpus the flagged fraction can be large, so broadcasting
+    it is NOT safe to assume — pass ``broadcast_flagged=True`` only when
+    the caller knows the flagged set is small (then corpus text crosses
+    zero exchanges; with the default, one, and a corpus bucketed on the
+    id crosses zero either way).
     """
     starts = duplicated_starts(
         doc_windows(df, n, id_col, text_col), min_docs, id_col
@@ -195,7 +201,9 @@ def trim_duplicated_spans(
     per_doc = starts.groupBy(id_col).agg(
         F.sort_array(F.collect_list("start")).alias("_dstarts")
     )
-    out = df.join(F.broadcast(per_doc), id_col, "left")
+    if broadcast_flagged:
+        per_doc = F.broadcast(per_doc)
+    out = df.join(per_doc, id_col, "left")
     toks = _tok_expr(text_col)
     trimmed = (
         # keep token j unless some duplicated window [s, s+n) covers it

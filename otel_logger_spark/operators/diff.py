@@ -73,11 +73,16 @@ def snapshot_diff(
         compare_cols = [
             c for c in new.columns if c not in key_cols
         ]
-    missing = [c for c in key_cols + compare_cols if c not in old.columns
-               or c not in new.columns]
+    carry_cols = carry_cols or []
+    missing = [
+        c for c in key_cols + compare_cols + carry_cols
+        if c not in old.columns or c not in new.columns
+    ]
     if missing:
         raise ValueError(f"columns absent from one side: {missing}")
-    carry_cols = carry_cols or []
+    overlap = set(carry_cols) & set(key_cols)
+    if overlap:
+        raise ValueError(f"carry_cols overlap key_cols: {sorted(overlap)}")
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         content = (

@@ -211,6 +211,44 @@ O_DEDUP_CANONICAL = (
 )
 
 
+def q_normalized_dedup(spark, sf_dir):
+    """Normalization-aware dedup accounting (functions/normalize.py):
+    per-source raw-vs-normalized distinct counts over a corpus with
+    deterministically injected case/punctuation/whitespace variants —
+    the gap is exactly the variants normalization collapses."""
+    from otel_logger_spark.functions.normalize import normalized_dedup_stats
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cased = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    spaced = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(cased).unionByName(spaced)
+    return normalized_dedup_stats(corpus, group_col="source")
+
+
+def _o_normalized_dedup() -> str:
+    from otel_logger_spark.functions.normalize import normalize_sql
+
+    return f"""
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, upper(text) || '!!' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT source, replace(text, ' ', '  ') FROM documents WHERE doc_id % 9 = 0)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_distinct,
+  CAST(COUNT(DISTINCT {normalize_sql('text')}) AS BIGINT) AS n_norm_distinct
+FROM corpus GROUP BY 1"""
+
+
 def q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sample (functions/sampling.py):
     per-source Bernoulli keep via the engine-portable Knuth multiplicative
@@ -899,6 +937,7 @@ QUERIES_C = {
     "span_dedup": q_span_dedup,
     "snapshot_diff": q_snapshot_diff,
     "dedup_canonical": q_dedup_canonical,
+    "normalized_dedup": q_normalized_dedup,
 }
 
 ORACLES_C = {
@@ -929,6 +968,7 @@ ORACLES_C = {
     # {MARKERS} resolves here: _ALL_MARKERS_SQL is defined below the
     # oracle template in this module
     "dedup_canonical": O_DEDUP_CANONICAL.replace("{MARKERS}", _ALL_MARKERS_SQL),
+    "normalized_dedup": _o_normalized_dedup(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

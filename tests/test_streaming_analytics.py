@@ -128,3 +128,8 @@ def test_streaming_analytics_batch_retry_is_idempotent(spark, tmp_path):
     write_analytics_batch(df, 7, out)  # redelivered
     t = read_template_counts(spark, out).collect()
     assert [(r["template"], r["n"], r["n_convs"]) for r in t] == [("n <n>", 1, 1)]
+    # CMS partial is batchid-idempotent too: one row, one cell count each
+    from otel_logger_spark.streaming.analytics import read_cms_sketch
+
+    cells = read_cms_sketch(spark, out).collect()
+    assert all(r["cnt"] == 1 for r in cells) and len(cells) == 4  # d rows

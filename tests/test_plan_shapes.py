@@ -173,6 +173,39 @@ def test_zorder_buckets_one_volume_exchange_pruned_scan(spark):
         assert "event_type" not in rs and "conv_id" not in rs
 
 
+def test_cms_sketch_one_aggregate_exchange_no_python(spark):
+    """The CMS sketch is ONE aggregation whatever N is: the d-row explode
+    is a projection, the (row, bucket) groupBy its only exchange; the
+    estimate adds the broadcast of the tiny sketch plus its own final
+    agg — never a shuffled join, never Python."""
+    from pyspark.sql import functions as F
+
+    from otel_logger_spark.functions.cms import cms_estimate, cms_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("event_type").alias("k")
+    )
+    sk = cms_sketch(ev, "k")
+    s = shape(sk)
+    assert s["exchanges"] <= 1 and s["python_stages"] == 0
+    e = shape(cms_estimate(sk, ev, "k"))
+    assert e["exchanges"] <= 2 and e["python_stages"] == 0
+    assert all(j == "BroadcastHashJoin" for j in e["joins"])
+
+
+def test_normalized_dedup_stats_pure_codegen_two_exchanges(spark):
+    """Normalization is codegen string expressions at the scan; the two
+    exchanges are the distinct-aggregate pair the math requires."""
+    from otel_logger_spark.functions.normalize import normalized_dedup_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = shape(normalized_dedup_stats(docs))
+    assert s["exchanges"] <= 2 and s["python_stages"] == 0
+    assert s["joins"] == []
+    # the scan reads only the two columns the stats need
+    assert "doc_id" not in s["scans"][0]["ReadSchema"]
+
+
 def test_scans_are_column_pruned(shapes):
     """Pushdown evidence: the training-mix scan reads only its two used
     columns, never the documents table's text payload."""

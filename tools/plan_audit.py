@@ -137,6 +137,12 @@ COMMENT = {
         "into 8 bytes. Coverage is a per-doc window + agg over the "
         "SMALL duplicated-start survivor set; the final join back to "
         "the narrow doc base ships only integers. No Python anywhere."),
+    "normalized_dedup": (
+        "normalization is codegen string expressions at the scan (scan "
+        "reads only text+source); the two exchanges are the "
+        "distinct-aggregate pair the raw-vs-normalized accounting "
+        "requires. The drop form reuses the exact-dedup left-semi shape "
+        "— only (digest, id) pairs shuffle."),
     "cms_counts": (
         "count-min sketch: the sketch is ONE aggregation (explode d "
         "rows/input -> groupBy (row, low-bits bucket) with map-side "
@@ -232,6 +238,9 @@ def main():
     from otel_logger_spark.queries_extra import q_cms_counts
 
     dfs["cms_counts"] = q_cms_counts(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_normalized_dedup
+
+    dfs["normalized_dedup"] = q_normalized_dedup(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

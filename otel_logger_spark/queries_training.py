@@ -249,6 +249,27 @@ SELECT source, COUNT(*) AS n_docs,
 FROM corpus GROUP BY 1"""
 
 
+_MIX_TARGETS = {"src0": 400, "src1": 300, "src2": 200, "src3": 100}
+
+
+def q_token_mix(spark, sf_dir):
+    """Token-budget mix allocation (functions/mixer.py): measure
+    per-source token totals, derive the feasible budget and integer
+    rates for a 40/30/20/10 target mix, apply the deterministic Knuth
+    keep, and report exact accounting — the oracle replays the whole
+    derivation chain and the keep thresholds bit-for-bit."""
+    from otel_logger_spark.functions.mixer import token_mix_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_mix_report(docs, _MIX_TARGETS)
+
+
+def _o_token_mix() -> str:
+    from otel_logger_spark.functions.mixer import token_mix_report_sql
+
+    return token_mix_report_sql("documents", _MIX_TARGETS)
+
+
 def q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sample (functions/sampling.py):
     per-source Bernoulli keep via the engine-portable Knuth multiplicative
@@ -938,6 +959,7 @@ QUERIES_C = {
     "snapshot_diff": q_snapshot_diff,
     "dedup_canonical": q_dedup_canonical,
     "normalized_dedup": q_normalized_dedup,
+    "token_mix": q_token_mix,
 }
 
 ORACLES_C = {
@@ -969,6 +991,7 @@ ORACLES_C = {
     # oracle template in this module
     "dedup_canonical": O_DEDUP_CANONICAL.replace("{MARKERS}", _ALL_MARKERS_SQL),
     "normalized_dedup": _o_normalized_dedup(),
+    "token_mix": _o_token_mix(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

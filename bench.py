@@ -107,6 +107,20 @@ def main():
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # single-thread CPU calibration: a fixed integer loop whose wall time
+    # moves ONLY with host contention/throttling (no IO, no JVM, no
+    # caches). Carried in the artifact so a reader can tell a contended
+    # window from a code regression without trusting external notes —
+    # BENCH/NOISE.md records the quiet-window reference value.
+    def _cpu_calib() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i
+        return round(time.perf_counter() - t0, 3)
+
+    calib = [_cpu_calib()]
+
     # per-query second samples across passes, insertion-ordered
     samples: dict[str, list[float]] = {}
 
@@ -163,6 +177,7 @@ def main():
 
     for _ in range(n_passes):
         one_pass()
+        calib.append(_cpu_calib())
 
     medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     spread = {n: {"min": min(v), "max": max(v)} for n, v in samples.items()}
@@ -178,6 +193,10 @@ def main():
         "cpus": cpus,
         "n_turns": n_turns,
         "pipeline_turns_per_sec": round(n_turns / medians["full_pipeline"], 1),
+        # host-contention indicator: single-thread integer-loop walls
+        # sampled before the first and after every pass (quiet-window
+        # reference in BENCH/NOISE.md; higher = contended/throttled host)
+        "cpu_calib_sec": calib,
     }
     # regression guard: diff per-query MEDIANS against the newest recorded
     # driver artifact (BENCH_r{N}.json) so a slowdown can never ship

@@ -139,6 +139,32 @@ def cms_heavy_hitters(
     )
 
 
+def skew_advisor(
+    df: DataFrame,
+    key_col: str,
+    rows_per_task: int,
+    d: int = DEFAULT_D,
+    w: int = DEFAULT_W,
+) -> DataFrame:
+    """Pre-join skew report: keys whose (one-sided, never-undercounting)
+    CMS estimate exceeds ``rows_per_task``, with the salt factor the
+    salted two-phase path (operators/skew.py) would need to split them:
+    ``salt = ceil(est / rows_per_task)``. Because the estimate only
+    overcounts, a hot key is never missed — the failure mode of a
+    sampled key histogram — at the cost of an occasional cold key
+    salted harmlessly. One sketch aggregation + a broadcast estimate:
+    the diagnosis costs no full groupBy of the join key."""
+    if rows_per_task < 1:
+        raise ValueError("rows_per_task must be >= 1")
+    sketch = cms_sketch(df, key_col, d, w)
+    est = cms_estimate(sketch, df.select(key_col), key_col, d, w)
+    return est.filter(F.col("est") > rows_per_task).select(
+        key_col,
+        "est",
+        F.expr(f"CAST(-(-est div {rows_per_task}) AS INT)").alias("salt"),
+    )
+
+
 def cms_counts_sql(
     keys_cte: str,
     d: int = DEFAULT_D,

@@ -152,6 +152,18 @@ def main(argv=None):
     r.add_argument("--partition-col", default="event_date")
     r.add_argument("--target-file-mb", type=int, default=512)
 
+    f = sub.add_parser(
+        "forget",
+        help="purge rows matching a tombstone key file from sinks "
+        "(right-to-be-forgotten; rewrite-verify-swap per directory)",
+    )
+    f.add_argument("path", help="out_dir containing the sinks")
+    f.add_argument("--sinks", required=True, help="comma-separated sink names")
+    f.add_argument("--keys", required=True,
+                   help="parquet file/dir with the tombstone keys")
+    f.add_argument("--key-col", required=True)
+    f.add_argument("--target-file-mb", type=int, default=512)
+
     args = ap.parse_args(argv)
 
     from otel_logger_spark.session import get_spark
@@ -189,6 +201,14 @@ def main(argv=None):
             before=date.fromisoformat(args.before) if args.before else None,
             zorder_cols=args.cols.split(",") if args.cols else None,
             bits=args.bits,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+    elif args.cmd == "forget":
+        from otel_logger_spark.operators.forget import forget_sinks
+
+        report = forget_sinks(
+            spark, args.path, args.sinks.split(","),
+            spark.read.parquet(args.keys), args.key_col,
             target_file_bytes=args.target_file_mb * 1024 * 1024,
         )
     else:

@@ -127,13 +127,20 @@ def rewrite_verify_swap(
     target_file_bytes: int = 512 * 1024 * 1024,
     codec: str = "snappy",
     skip_if_compact: bool = False,
+    expected_rows=None,
 ) -> dict:
     """The shared maintenance-rewrite protocol (compaction, Z-ordering,
     any whole-directory layout change): fingerprint -> rewrite
     ``transform(df, n_target)`` into tmp -> footer-verify row counts ->
     re-fingerprint (concurrent-writer guard) -> swap. Crash anywhere
     leaves a recoverable state (recover_compaction); any row-count or
-    listing discrepancy aborts with the source untouched."""
+    listing discrepancy aborts with the source untouched.
+
+    ``expected_rows``: by default the verify demands tmp == source
+    (layout-only rewrites). A row-REMOVING rewrite (operators/forget.py)
+    passes a callable ``src_rows -> expected`` computed from its own
+    matched-row accounting, and the verify demands that instead — the
+    row delta is still asserted, never waived."""
     recovered = recover_compaction(spark, path)
     fs = HadoopFS(spark, path)
     fps = _file_fingerprints(spark, fs, path)
@@ -162,12 +169,14 @@ def rewrite_verify_swap(
     )
     tmp_parts = parquet_partition_lineage(spark, tmp)
     tmp_rows = sum(p["n_rows"] for p in tmp_parts)
-    if tmp_rows != src_rows:
+    want_rows = src_rows if expected_rows is None else expected_rows(src_rows)
+    if tmp_rows != want_rows:
         # leave the source untouched; remove the bad rewrite
         fs._fs.delete(fs._p(tmp), True)
         raise RuntimeError(
-            f"compaction verify failed at {path}: source {src_rows} rows, "
-            f"rewrite {tmp_rows} — source left untouched"
+            f"rewrite verify failed at {path}: expected {want_rows} rows "
+            f"(source {src_rows}), rewrite {tmp_rows} — source left "
+            "untouched"
         )
     fps_now = _file_fingerprints(spark, fs, path)
     if fps_now != fps:
@@ -182,7 +191,10 @@ def rewrite_verify_swap(
     fs._fs.delete(fs._p(path), True)
     fs._fs.rename(fs._p(tmp), fs._p(path))
     return {
-        "n_rows": src_rows,
+        # == src_rows for layout-only rewrites; the post-delete count for
+        # row-removing ones (verified against expected_rows either way)
+        "n_rows": tmp_rows,
+        "rows_removed": src_rows - tmp_rows,
         "files_before": len(files),
         "files_after": len(tmp_parts),
         "recovered": recovered,

@@ -82,6 +82,25 @@ def test_heavy_hitters_superset(spark):
     assert "hot" in hh   # a true heavy hitter is never missed
 
 
+def test_skew_advisor_never_misses_hot_key(spark):
+    """'hot' has 60 true rows; at rows_per_task=20 it MUST be reported
+    (one-sided estimate) with salt >= ceil(60/20)=3; the 40 singleton
+    cold keys stay below threshold at wide w."""
+    from otel_logger_spark.functions.cms import skew_advisor
+
+    xs = ["hot"] * 60 + [f"c{i}" for i in range(40)]
+    rep = {r["k"]: (r["est"], r["salt"]) for r in
+           skew_advisor(_keys(spark, xs), "k", rows_per_task=20,
+                        w=65536).collect()}
+    assert "hot" in rep
+    est, salt = rep["hot"]
+    assert est >= 60 and salt >= 3
+    assert all(k == "hot" for k in rep), rep   # no cold keys at wide w
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rows_per_task"):
+        skew_advisor(_keys(spark, xs), "k", rows_per_task=0)
+
+
 def test_argument_guards(spark):
     df = _keys(spark, ["a"])
     with pytest.raises(ValueError, match="power of two"):

@@ -137,6 +137,13 @@ COMMENT = {
         "into 8 bytes. Coverage is a per-doc window + agg over the "
         "SMALL duplicated-start survivor set; the final join back to "
         "the narrow doc base ships only integers. No Python anywhere."),
+    "token_mix": (
+        "mix allocation: the rate derivation is ONE aggregate "
+        "(per-source token totals, O(sources) driver state); the keep "
+        "is a pure codegen Knuth-hash filter at the scan; the report "
+        "joins the tiny plan relation against the kept aggregate. At "
+        "10^12 docs the apply step is exactly training_mix's shape — "
+        "no shuffle beyond the accounting agg."),
     "normalized_dedup": (
         "normalization is codegen string expressions at the scan (scan "
         "reads only text+source); the two exchanges are the "
@@ -241,6 +248,9 @@ def main():
     from otel_logger_spark.queries_training import q_normalized_dedup
 
     dfs["normalized_dedup"] = q_normalized_dedup(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_token_mix
+
+    dfs["token_mix"] = q_token_mix(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

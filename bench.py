@@ -172,6 +172,7 @@ def main():
             run("dedup_canonical", lambda: QT.q_dedup_canonical(spark, sf_dir).collect())
             run("normalized_dedup", lambda: QT.q_normalized_dedup(spark, sf_dir).collect())
             run("token_mix", lambda: QT.q_token_mix(spark, sf_dir).collect())
+            run("funnel", lambda: QX.q_funnel(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -428,7 +428,30 @@ WITH keyse AS (
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Funnel conversion (operators/funnel.py): users reaching each
+    prefix of view -> click -> purchase with a 24h gap bound between
+    consecutive steps, greedy earliest-match. The oracle replays the
+    identical (epoch, type) sort and gap-bounded fold."""
+    from otel_logger_spark.operators.funnel import funnel_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], max_gap_seconds=86400
+    )
+
+
+def _o_funnel() -> str:
+    from otel_logger_spark.operators.funnel import funnel_counts_sql
+
+    return funnel_counts_sql(
+        "events", ["view", "click", "purchase"], max_gap_seconds=86400
+    )
+
+
 QUERIES_X = {
+    "funnel": q_funnel,
     "cms_counts": q_cms_counts,
     "exact_percentiles": q_exact_percentiles,
     "zorder_buckets": q_zorder_buckets,
@@ -445,6 +468,7 @@ QUERIES_X = {
 }
 
 ORACLES_X = {
+    "funnel": _o_funnel(),
     "cms_counts": _o_cms_counts(),
     "exact_percentiles": _o_exact_percentiles(),
     "zorder_buckets": _o_zorder_buckets(),

@@ -137,6 +137,12 @@ COMMENT = {
         "into 8 bytes. Coverage is a per-doc window + agg over the "
         "SMALL duplicated-start survivor set; the final join back to "
         "the narrow doc base ships only integers. No Python anywhere."),
+    "funnel": (
+        "funnel: ONE shuffle (groupBy user) collects (epoch, type) "
+        "structs; the greedy gap-bounded walk is a codegen aggregate() "
+        "fold with O(1) state per user — no window over the raw event "
+        "stream, no Python. Per-user history arrays are bounded by user "
+        "activity; cap upstream for pathological users."),
     "token_mix": (
         "mix allocation: the rate derivation is ONE aggregate "
         "(per-source token totals, O(sources) driver state); the keep "
@@ -251,6 +257,9 @@ def main():
     from otel_logger_spark.queries_training import q_token_mix
 
     dfs["token_mix"] = q_token_mix(spark, sf_dir)
+    from otel_logger_spark.queries_extra import q_funnel
+
+    dfs["funnel"] = q_funnel(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

@@ -173,6 +173,7 @@ def main():
             run("normalized_dedup", lambda: QT.q_normalized_dedup(spark, sf_dir).collect())
             run("token_mix", lambda: QT.q_token_mix(spark, sf_dir).collect())
             run("funnel", lambda: QX.q_funnel(spark, sf_dir).collect())
+            run("fixed_k_sample", lambda: QT.q_fixed_k_sample(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

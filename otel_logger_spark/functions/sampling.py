@@ -113,6 +113,39 @@ def weighted_sample(
     return df.filter(lhs < rhs)
 
 
+def fixed_k_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY min(k, stratum size) rows per stratum — the fixed-size
+    eval-subset primitive rate-based sampling can't give (a Bernoulli
+    sample's size varies; an eval set must not). Deterministic: rank by
+    (sample_key(id), id) per stratum and keep rank <= k — the same
+    engine-portable key as stratified_sample, the id tiebreak making
+    key collisions unambiguous, so retries, resumes and the DuckDB
+    oracle select the identical rows. Adding data to a stratum never
+    perturbs which of the SURVIVING rows are chosen beyond the rank
+    boundary (hash order is stable, unlike any LIMIT).
+
+    Scale shape: one window per stratum key — a shuffle of (key, id)
+    pairs; k is small by construction so the rank cuts early
+    (WindowGroupLimit pushes rank <= k below the sort at 3.5+)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_key(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -249,6 +249,39 @@ SELECT source, COUNT(*) AS n_docs,
 FROM corpus GROUP BY 1"""
 
 
+def q_fixed_k_sample(spark, sf_dir):
+    """Exactly-k-per-source deterministic sample (functions/sampling.
+    fixed_k_sample): rank by (Knuth key, id) per stratum, keep rank <= 7;
+    the oracle replays the key and the rank order bit-for-bit."""
+    from otel_logger_spark.functions.sampling import fixed_k_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = fixed_k_sample(docs, k=7)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+O_FIXED_K_SAMPLE = """
+WITH folded AS (
+  SELECT source, doc_id,
+    xor(doc_id % 4294967296, doc_id // 4294967296) AS f
+  FROM documents),
+keyed AS (
+  SELECT source, doc_id,
+    (((f % 65536) * 2654435761) % 4294967296
+     + (((f // 65536) * 2654435761) % 65536) * 65536) % 4294967296 AS k
+  FROM folded),
+ranked AS (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source ORDER BY k ASC, doc_id ASC) AS rk
+  FROM keyed)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM ranked WHERE rk <= 7 GROUP BY 1
+"""
+
+
 _MIX_TARGETS = {"src0": 400, "src1": 300, "src2": 200, "src3": 100}
 
 
@@ -960,6 +993,7 @@ QUERIES_C = {
     "dedup_canonical": q_dedup_canonical,
     "normalized_dedup": q_normalized_dedup,
     "token_mix": q_token_mix,
+    "fixed_k_sample": q_fixed_k_sample,
 }
 
 ORACLES_C = {
@@ -992,6 +1026,7 @@ ORACLES_C = {
     "dedup_canonical": O_DEDUP_CANONICAL.replace("{MARKERS}", _ALL_MARKERS_SQL),
     "normalized_dedup": _o_normalized_dedup(),
     "token_mix": _o_token_mix(),
+    "fixed_k_sample": O_FIXED_K_SAMPLE,
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

@@ -944,3 +944,28 @@ def test_query_module_import_is_side_effect_free():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stderr
+
+
+def test_fixed_k_sample_exact_size_stability_and_subset(spark):
+    """fixed_k_sample: exactly min(k, stratum size) per stratum; the
+    chosen set is a hash-rank PREFIX, so growing k only ADDS rows and
+    re-running selects identical rows; k >= stratum size keeps all."""
+    from otel_logger_spark.functions.sampling import fixed_k_sample
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(60)] + [(1000, "tiny")],
+        "doc_id long, source string",
+    )
+    k5 = fixed_k_sample(docs, 5)
+    sizes = {r["source"]: r["n"] for r in
+             k5.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"src0": 5, "src1": 5, "src2": 5, "tiny": 1}
+    ids5 = {r["doc_id"] for r in k5.collect()}
+    assert ids5 == {r["doc_id"] for r in fixed_k_sample(docs, 5).collect()}
+    ids9 = {r["doc_id"] for r in fixed_k_sample(docs, 9).collect()}
+    assert ids5 < ids9                       # prefix property
+    assert fixed_k_sample(docs, 100).count() == 61
+    with _pytest.raises(ValueError, match="k must"):
+        fixed_k_sample(docs, 0)

@@ -174,6 +174,7 @@ def main():
             run("token_mix", lambda: QT.q_token_mix(spark, sf_dir).collect())
             run("funnel", lambda: QX.q_funnel(spark, sf_dir).collect())
             run("fixed_k_sample", lambda: QT.q_fixed_k_sample(spark, sf_dir).collect())
+            run("quantized_ann", lambda: QT.q_quantized_ann(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -282,6 +282,28 @@ FROM ranked WHERE rk <= 7 GROUP BY 1
 """
 
 
+def q_quantized_ann(spark, sf_dir):
+    """Int8-quantized L2 top-5 (functions/quantize.py): per-dimension
+    global ranges measured on the corpus, bit-reproducible uint8 codes,
+    integer-exact distances. The oracle re-derives ranges, codes and
+    ranking from the same parquet."""
+    from otel_logger_spark.functions.quantize import (
+        measure_ranges,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ranges = measure_ranges(emb)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return quantized_topk(emb, queries, ranges, k=5)
+
+
+def _o_quantized_ann() -> str:
+    from otel_logger_spark.functions.quantize import quantized_topk_sql
+
+    return quantized_topk_sql("embeddings", "vec_id < 20", dim=64, k=5)
+
+
 _MIX_TARGETS = {"src0": 400, "src1": 300, "src2": 200, "src3": 100}
 
 
@@ -994,6 +1016,7 @@ QUERIES_C = {
     "normalized_dedup": q_normalized_dedup,
     "token_mix": q_token_mix,
     "fixed_k_sample": q_fixed_k_sample,
+    "quantized_ann": q_quantized_ann,
 }
 
 ORACLES_C = {
@@ -1027,6 +1050,7 @@ ORACLES_C = {
     "normalized_dedup": _o_normalized_dedup(),
     "token_mix": _o_token_mix(),
     "fixed_k_sample": O_FIXED_K_SAMPLE,
+    "quantized_ann": _o_quantized_ann(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

@@ -137,6 +137,16 @@ COMMENT = {
         "into 8 bytes. Coverage is a per-doc window + agg over the "
         "SMALL duplicated-start survivor set; the final join back to "
         "the narrow doc base ships only integers. No Python anywhere."),
+    "quantized_ann": (
+        "int8 ANN: codes are per-row codegen (the 64-element projection "
+        "compiles once — wall time at gate scale is Catalyst "
+        "compilation, not data); the query side broadcasts; distances "
+        "are an integer zip_with fold. At 100 TB the same codes feed "
+        "LSH/IVF candidate pruning with 4x fewer bytes moved."),
+    "fixed_k_sample": (
+        "exact-k sample: one (key, id) window shuffle per stratum; "
+        "rank <= k cuts below the sort via the window group limit, so "
+        "only k rows per stratum survive the exchange."),
     "funnel": (
         "funnel: ONE shuffle (groupBy user) collects (epoch, type) "
         "structs; the greedy gap-bounded walk is a codegen aggregate() "
@@ -260,6 +270,13 @@ def main():
     from otel_logger_spark.queries_extra import q_funnel
 
     dfs["funnel"] = q_funnel(spark, sf_dir)
+    from otel_logger_spark.queries_training import (
+        q_fixed_k_sample,
+        q_quantized_ann,
+    )
+
+    dfs["fixed_k_sample"] = q_fixed_k_sample(spark, sf_dir)
+    dfs["quantized_ann"] = q_quantized_ann(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

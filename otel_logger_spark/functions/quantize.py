@@ -98,6 +98,12 @@ def quantized_topk(
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # zip_with fold, NOT an unrolled per-index sum: element access on the
+    # projected code array makes the optimizer inline the whole D-element
+    # quantize expression per term (O(D^2) tree, the documented
+    # projection-collapse trap — measured 1.6x slower even behind a
+    # spark_partition_id barrier). Gate-scale wall time is Catalyst
+    # compilation either way; at data scale the fold runs once per pair.
     dist = F.expr(
         "aggregate(zip_with(_cq, _qq, (a, b) -> CAST((a - b) * (a - b) "
         "AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"

@@ -158,10 +158,15 @@ def skew_advisor(
         raise ValueError("rows_per_task must be >= 1")
     sketch = cms_sketch(df, key_col, d, w)
     est = cms_estimate(sketch, df.select(key_col), key_col, d, w)
+    # ceil(est / rows_per_task): Spark's `div` truncates toward zero, so
+    # -(-est div N) is FLOOR for positive est (round-7 advisor) — the
+    # add-then-divide form is the actual ceiling
     return est.filter(F.col("est") > rows_per_task).select(
         key_col,
         "est",
-        F.expr(f"CAST(-(-est div {rows_per_task}) AS INT)").alias("salt"),
+        F.expr(
+            f"CAST((est + {rows_per_task - 1}) div {rows_per_task} AS INT)"
+        ).alias("salt"),
     )
 
 

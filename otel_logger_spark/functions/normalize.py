@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _PUNCT = "[!-/:-@\\[-`{-~]"
-_WS = "\\s+"
+# Explicit whitespace class, NOT \s: Java's \s matches vertical tab \x0B
+# while DuckDB RE2's \s does not (round-7 advisor, verified) — the same
+# pattern text below is given to BOTH engines so VT collapses identically.
+_WS = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def normalize_expr(col):
@@ -82,5 +85,7 @@ def normalize_sql(col_sql: str) -> str:
     return (
         "trim(regexp_replace(regexp_replace(lower("
         + col_sql
-        + "), '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))"
+        + "), '[!-/:-@\\[-`{-~]', ' ', 'g'), '"
+        + _WS
+        + "', ' ', 'g'))"
     )

@@ -21,11 +21,14 @@ streams — embarrassingly parallel, one shuffle on the stream key, and
 deterministic (the bucket function is plain modulo so the DuckDB oracle
 replays it; at production scale any key-spreading function works the
 same way). Shard-size uniformity comes from the budget, not from the
-bucket count. The scale-unsafe setting is opt-in (round 6): the default
-``n_buckets=None`` derives the bucket count from
-``spark.sql.shuffle.partitions`` — deterministic given config, parallel
-by default — and serializing a group's whole stream through one
-partition requires an explicit ``n_buckets=1``.
+bucket count. ``n_buckets`` is REQUIRED and is part of the manifest's
+identity (round 7, advisor): a config-derived default (round 6 used
+``spark.sql.shuffle.partitions``) made the same code produce different
+pack manifests on different clusters, at odds with the repo's
+determinism discipline. Callers choose the bucket count exactly like
+the token budget — both are data-contract parameters, not tuning knobs
+— and serializing a group's whole stream through one partition requires
+an explicit ``n_buckets=1``.
 """
 
 from __future__ import annotations
@@ -34,16 +37,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _resolve_buckets(df: DataFrame, n_buckets: int | None) -> int:
-    """None -> one stream per shuffle partition (the session's declared
-    reduce-side parallelism; deterministic given config). Explicit values
-    pass through, so n_buckets=1 (a single serialized stream per group)
-    is a deliberate choice, never a silent default."""
-    if n_buckets is None:
-        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
-    return n_buckets
+def _resolve_buckets(n_buckets: int) -> int:
+    """Explicit values only — n_buckets is part of the manifest contract
+    (see module docstring); n_buckets=1 (a single serialized stream per
+    group) is a deliberate choice, never a silent default."""
+    if n_buckets is None or n_buckets < 1:
+        raise ValueError(f"n_buckets must be an explicit int >= 1: {n_buckets}")
+    return int(n_buckets)
 
 
 def pack_documents(
@@ -52,13 +52,14 @@ def pack_documents(
     token_col: str,
     order_col: str = "doc_id",
     group_cols: tuple[str, ...] = ("source",),
-    n_buckets: int | None = None,
+    *,
+    n_buckets: int,
 ) -> DataFrame:
     """Assign every document to its shard. Returns the input columns plus
     ``bucket``, ``start_offset`` and ``pack_id``."""
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
-    n_buckets = _resolve_buckets(df, n_buckets)
+    n_buckets = _resolve_buckets(n_buckets)
     g = list(group_cols)
     w = (
         Window.partitionBy(*g, "bucket")
@@ -80,7 +81,8 @@ def pack_stats(
     token_col: str,
     order_col: str = "doc_id",
     group_cols: tuple[str, ...] = ("source",),
-    n_buckets: int | None = None,
+    *,
+    n_buckets: int,
 ) -> DataFrame:
     """Per-shard manifest: (group..., bucket, pack_id, n_docs, n_tokens,
     first_doc, last_doc, fill_pct) — what a trainer's data loader
@@ -88,7 +90,7 @@ def pack_stats(
     quality observable: ~100 for well-packed shards, < 100 for each
     stream's tail shard, > 100 exactly when an oversized atomic document
     owns the shard. Integer-typed (exact, engine-portable)."""
-    packed = pack_documents(df, budget, token_col, order_col, group_cols, n_buckets)
+    packed = pack_documents(df, budget, token_col, order_col, group_cols, n_buckets=n_buckets)
     return packed.groupBy(*group_cols, "bucket", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("n_tokens"),

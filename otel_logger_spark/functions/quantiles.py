@@ -74,6 +74,12 @@ def exact_quantiles(
         raise ValueError("buckets must be >= 2")
     spark = df.sparkSession
     g = group_col if group_col is not None else None
+    # carry the group column's ORIGINAL dtype through the driver round
+    # trips (round-7 advisor: hardcoding `_g string` broke int group
+    # columns and silently re-typed string-castable ones)
+    from pyspark.sql import types as T
+
+    gtype = df.schema[g].dataType if g else T.StringType()
     base = df.select(
         (F.col(g) if g else F.lit(_GLOBAL)).alias("_g"),
         F.col(col).cast("long").alias("_v"),
@@ -122,7 +128,13 @@ def exact_quantiles(
                 (grp, rid, lo, hi, width_of[rid])
                 for (grp, lo, hi), rid in ranges.items()
             ],
-            "_g string, _rid int, _lo long, _hi long, _w long",
+            T.StructType([
+                T.StructField("_g", gtype),
+                T.StructField("_rid", T.IntegerType()),
+                T.StructField("_lo", T.LongType()),
+                T.StructField("_hi", T.LongType()),
+                T.StructField("_w", T.LongType()),
+            ]),
         )
         hist = base.join(F.broadcast(rmap), "_g").filter(
             F.col("_v").between(F.col("_lo"), F.col("_hi"))
@@ -162,7 +174,13 @@ def exact_quantiles(
     ]
     out_group = g if g else "_g"
     out = spark.createDataFrame(
-        rows, f"{out_group} string, q_milli int, value long, n long"
+        rows,
+        T.StructType([
+            T.StructField(out_group, gtype),
+            T.StructField("q_milli", T.IntegerType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]),
     )
     return out if g else out.drop("_g")
 

@@ -101,6 +101,28 @@ def test_skew_advisor_never_misses_hot_key(spark):
         skew_advisor(_keys(spark, xs), "k", rows_per_task=0)
 
 
+def test_skew_advisor_salt_is_true_ceiling(spark):
+    """Non-divisible case (round-7 advisor): 61 rows at rows_per_task=20
+    needs salt=ceil(61/20)=4 so every split stays <= rows_per_task; the
+    old -(-est div N) floor form gave 3 (splits of ~20.3 > 20). CMS at
+    wide w estimates exactly, so est==61 here and the assertion is
+    exact."""
+    from otel_logger_spark.functions.cms import skew_advisor
+
+    xs = ["hot"] * 61 + [f"c{i}" for i in range(40)]
+    rep = {r["k"]: (r["est"], r["salt"]) for r in
+           skew_advisor(_keys(spark, xs), "k", rows_per_task=20,
+                        w=65536).collect()}
+    est, salt = rep["hot"]
+    assert est == 61 and salt == 4
+    # boundary: est just past one task (21/20) must split in two
+    xs2 = ["warm"] * 21 + [f"d{i}" for i in range(10)]
+    rep2 = {r["k"]: r["salt"] for r in
+            skew_advisor(_keys(spark, xs2), "k", rows_per_task=20,
+                         w=65536).collect()}
+    assert rep2.get("warm") == 2
+
+
 def test_argument_guards(spark):
     df = _keys(spark, ["a"])
     with pytest.raises(ValueError, match="power of two"):

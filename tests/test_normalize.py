@@ -24,6 +24,10 @@ CASES = [
     ("", ""),
     ("...", ""),
     ("MiXeD123cAsE", "mixed123case"),
+    # vertical tab: Java \s matches \x0B, RE2 \s does not — the explicit
+    # whitespace class keeps the two engines identical (round-7 advisor)
+    ("a\x0bb \x0b c", "a b c"),
+    ("a\fb\rc", "a b c"),
 ]
 
 

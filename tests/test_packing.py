@@ -66,21 +66,29 @@ def test_pack_shards_oracle_parity_sf0001(spark):
     assert got == exp and len(got) > 0
 
 
-def test_default_buckets_derive_from_shuffle_partitions(spark):
-    """Round 6: the scale-unsafe single-stream setting is opt-in.
-    Default n_buckets=None spreads streams across
-    spark.sql.shuffle.partitions buckets; assignment within each stream
-    is unchanged (bucket = doc_id % P), and serializing requires an
-    explicit n_buckets=1."""
+def test_n_buckets_is_an_explicit_contract_parameter(spark):
+    """Round 7 (advisor): n_buckets is part of the manifest's identity —
+    a config-derived default made the same code produce different shard
+    manifests under different spark.sql.shuffle.partitions settings. It
+    is now required (keyword-only) and validated."""
     import pytest
 
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     df = _docs(spark, [((i * 37) % 400) + 1 for i in range(200)])
-    packed = pack_documents(df, budget=500, token_col="n")
-    assert packed.filter(F.col("bucket") != F.col("doc_id") % p).count() == 0
-    assert packed.select("bucket").distinct().count() == min(200, p)
+    with pytest.raises(TypeError):
+        pack_documents(df, budget=500, token_col="n")
     with pytest.raises(ValueError, match="n_buckets"):
         pack_documents(df, budget=500, token_col="n", n_buckets=0)
+    # the manifest is invariant under a different shuffle.partitions
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows_a = sorted(map(tuple, pack_documents(
+        df, budget=500, token_col="n", n_buckets=4).collect()))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(before) + 7))
+        rows_b = sorted(map(tuple, pack_documents(
+            df, budget=500, token_col="n", n_buckets=4).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert rows_a == rows_b
 
 
 def test_fill_pct_semantics(spark):

@@ -56,6 +56,19 @@ def test_grouped_and_empty_group(spark):
     assert m == {("a", 500): (2, 3)}   # all-NULL group emits no rows
 
 
+def test_non_string_group_column(spark):
+    """Round-7 advisor: the group column's dtype must survive the driver
+    round trips — an int bucket id used to raise TypeError in
+    createDataFrame (schema hardcoded `_g string`)."""
+    df = spark.createDataFrame(
+        [(0, 10), (0, 20), (0, 30), (7, 5)], "g int, v long"
+    )
+    got = exact_quantiles(df, "v", [500], group_col="g")
+    assert got.schema["g"].dataType.simpleString() == "int"
+    m = {(r["g"], r["q_milli"]): (r["value"], r["n"]) for r in got.collect()}
+    assert m == {(0, 500): (20, 3), (7, 500): (5, 1)}
+
+
 def test_convergence_rounds_bounded(spark):
     """Span 10^6 at 4096 buckets: round 1 narrows to width ceil(1e6/4096)
     =245, round 2 to width 1 -> <= 2 rounds. Identical values converge in

@@ -4,13 +4,20 @@ embedding corpus becomes 25 TB before any index is built, and the
 re-rank distance becomes pure int64 arithmetic.
 
 Scheme (scalar quantization, per-dimension global ranges):
-- measure per-dimension (min, max) over the corpus — ONE aggregate job
-  (2*D codegen aggregates), O(D) driver state;
-- code_i = clamp(floor((v_i - mn_i) * 255.0 / span_i), 0, 255) with
-  span_i = max_i - min_i (1.0 when the dimension is constant). The
-  float subtract/multiply/divide are per-element IEEE double ops with
-  the SAME literals and the SAME association in Spark and DuckDB, so —
-  like oracles_lsh.py's hyperplane sums — the codes are bit-exactly
+- measure per-dimension (min, max) over the corpus — posexplode +
+  groupBy(pos): ONE job whose map side partially aggregates, so the
+  shuffle carries #partitions * D tiny rows and the EXPRESSION tree is
+  constant-size in D (round 7: the previous 2*D unrolled aggregates and
+  D per-element code expressions compiled fine at the gate's D=64 but
+  grow super-linearly at real embedding dims 768-4096);
+- codes: the ranges ship back as TWO array<double> literals (single
+  Literal nodes — O(D) data, O(1) expression nodes) and
+  code_i = clamp(floor((v_i - mn_i) * 255.0 / span_i), 0, 255) runs as
+  a zip_with chain with span_i = max_i - min_i (1.0 when the dimension
+  is constant). The float subtract/multiply/divide are per-element IEEE
+  double ops with the SAME values and the SAME association in Spark and
+  DuckDB (which evaluates the identical arithmetic via list_transform),
+  so — like oracles_lsh.py's hyperplane sums — the codes are bit-exactly
   reproducible across engines;
 - quantized distance: sum_i (qa_i - qb_i)^2, pure integer (bounded by
   D * 255^2 — int64-safe through D ~ 1.4e14), order-independent, so the
@@ -22,10 +29,11 @@ quantization step per dimension — and the gate oracles exactly THAT
 ranking, deterministically (distance asc, neighbor id tiebreak). The
 float cosine path (functions/similarity.py) remains the exact reference.
 
-Scale shape: the code projection is per-row codegen; top-k broadcasts
-the (tiny) query side against the corpus exactly like cosine_topk, and
-at full scale the codes feed the SAME bucketed-LSH / IVF candidate
-pruning — this module shrinks the bytes those paths move by 4x.
+Scale shape: the code projection is per-row; top-k broadcasts the
+(tiny) query side against the corpus exactly like cosine_topk, and at
+full scale the codes feed IVF candidate pruning — see
+queries_training.q_ann_ivf_quantized for the composed path (coarse
+probe -> int8 re-rank), which moves 4x fewer bytes per candidate.
 """
 
 from __future__ import annotations
@@ -37,33 +45,55 @@ from pyspark.sql import functions as F
 def measure_ranges(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> list[tuple[float, float]]:
-    """Per-dimension (min, max) in one aggregate job."""
-    if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            raise ValueError("empty corpus: cannot measure ranges")
-        dim = int(first["d"])
-    aggs = []
-    for i in range(dim):
-        aggs.append(F.min(F.col(vec_col)[i].cast("double")).alias(f"mn{i}"))
-        aggs.append(F.max(F.col(vec_col)[i].cast("double")).alias(f"mx{i}"))
-    row = df.agg(*aggs).first()
-    return [(float(row[f"mn{i}"]), float(row[f"mx{i}"])) for i in range(dim)]
+    """Per-dimension (min, max) in one aggregate job. posexplode +
+    groupBy(pos): partial aggregation collapses each task to D rows
+    before the exchange, and the plan is dimension-count independent.
+    ``dim`` (optional) validates the corpus width."""
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("empty corpus: cannot measure ranges")
+    by_pos = {int(r["pos"]): (float(r["mn"]), float(r["mx"])) for r in stats}
+    width = max(by_pos) + 1
+    if dim is not None and dim != width:
+        raise ValueError(f"corpus width {width} != declared dim {dim}")
+    if sorted(by_pos) != list(range(width)):
+        raise ValueError(f"ragged corpus: positions {sorted(by_pos)}")
+    return [by_pos[i] for i in range(width)]
+
+
+def _spans(ranges: list[tuple[float, float]]) -> list[float]:
+    return [(mx - mn) if mx > mn else 1.0 for mn, mx in ranges]
 
 
 def quantize_expr(
     vec_col: str, ranges: list[tuple[float, float]]
 ) -> Column:
-    """array<int> of uint8 codes for ``vec_col`` under ``ranges``."""
-    cols = []
-    for i, (mn, mx) in enumerate(ranges):
-        span = (mx - mn) if mx > mn else 1.0
-        v = F.col(vec_col)[i].cast("double")
-        code = F.floor((v - F.lit(mn)) * F.lit(255.0) / F.lit(span))
-        cols.append(
-            F.greatest(F.lit(0), F.least(F.lit(255), code)).cast("int")
-        )
-    return F.array(*cols)
+    """array<int> of uint8 codes for ``vec_col`` under ``ranges`` —
+    constant expression size in D: the ranges are two single array
+    literals, the arithmetic a zip_with chain (never per-index element
+    access, which inlines the producing expression per term — the
+    documented projection-collapse trap)."""
+    mns = F.lit([mn for mn, _ in ranges]).cast("array<double>")
+    spans = F.lit(_spans(ranges)).cast("array<double>")
+    diffs = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mns, lambda v, m: v - m
+    )
+    return F.zip_with(
+        diffs,
+        spans,
+        lambda d, s: F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(255).cast("bigint"), F.floor(d * F.lit(255.0) / s)),
+        ).cast("int"),
+    )
 
 
 def with_quantized(
@@ -73,6 +103,18 @@ def with_quantized(
     out_col: str = "qvec",
 ) -> DataFrame:
     return df.withColumn(out_col, quantize_expr(vec_col, ranges))
+
+
+# integer fold over the code arrays — order-independent, int64-safe
+_QDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST((x - y) * (x - y) "
+    "AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+def quantized_distance(a_col: str, b_col: str) -> Column:
+    """Quantized-L2 distance between two code-array columns."""
+    return F.expr(_QDIST.format(a=a_col, b=b_col))
 
 
 def quantized_topk(
@@ -86,7 +128,11 @@ def quantized_topk(
     """Top-k neighbors per query under quantized L2 (self excluded):
     (query_id, neighbor_id, qdist, rank) — qdist integer-exact, rank by
     (qdist asc, neighbor_id asc). Query side broadcasts; the corpus
-    never shuffles (TakeOrderedAndProject after the rank window)."""
+    never shuffles (TakeOrderedAndProject after the rank window).
+
+    This is the brute-force REFERENCE ranking (every corpus row scored
+    per query — correct, small-Q contract); the scale path composes IVF
+    candidate pruning with the same codes, see ivf_quantized_topk."""
     from pyspark.sql import Window
 
     c = with_quantized(corpus, ranges, vec_col, "_cq").select(
@@ -102,17 +148,12 @@ def quantized_topk(
     # projected code array makes the optimizer inline the whole D-element
     # quantize expression per term (O(D^2) tree, the documented
     # projection-collapse trap — measured 1.6x slower even behind a
-    # spark_partition_id barrier). Gate-scale wall time is Catalyst
-    # compilation either way; at data scale the fold runs once per pair.
-    dist = F.expr(
-        "aggregate(zip_with(_cq, _qq, (a, b) -> CAST((a - b) * (a - b) "
-        "AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
+    # spark_partition_id barrier).
     w = Window.partitionBy("query_id").orderBy(
         F.col("qdist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        pairs.withColumn("qdist", dist)
+        pairs.withColumn("qdist", quantized_distance("_cq", "_qq"))
         .select("query_id", "neighbor_id", "qdist")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -129,29 +170,36 @@ def quantized_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    """DuckDB re-derivation: ranges from the SAME min/max aggregates
+    """DuckDB re-derivation: ranges from the SAME per-dimension min/max
     (float min/max of identical data is bit-identical), codes from the
-    SAME left-associated double expression, distance in BIGINT."""
-    rg = ", ".join(
-        f"MIN(CAST({vec_col}[{i + 1}] AS DOUBLE)) AS mn{i}, "
-        f"MAX(CAST({vec_col}[{i + 1}] AS DOUBLE)) AS mx{i}"
-        for i in range(dim)
-    )
-    code = ", ".join(
-        f"GREATEST(0, LEAST(255, CAST(FLOOR((CAST({vec_col}[{i + 1}] AS DOUBLE)"
-        f" - mn{i}) * 255.0 / (CASE WHEN mx{i} > mn{i} THEN mx{i} - mn{i}"
-        f" ELSE 1.0 END)) AS BIGINT)))"
-        for i in range(dim)
-    )
-    dsum = " + ".join(f"(c.q[{i + 1}] - q.q[{i + 1}]) * (c.q[{i + 1}] - q.q[{i + 1}])"
-                      for i in range(dim))
+    SAME double expression evaluated per element via list_transform,
+    distance folded in BIGINT (order-independent). Like the Spark side,
+    the SQL text is now constant-size in ``dim`` — positions come from
+    generate_series, not unrolled terms."""
     return f"""
-WITH rg AS (SELECT {rg} FROM {table}),
-coded AS (SELECT {id_col}, [{code}] AS q FROM {table}, rg),
+WITH st AS (
+  SELECT i,
+         MIN(CAST({vec_col}[i] AS DOUBLE)) AS mn,
+         MAX(CAST({vec_col}[i] AS DOUBLE)) AS mx
+  FROM {table}, generate_series(1, {dim}) AS g(i) GROUP BY i),
+rg AS (
+  SELECT list(mn ORDER BY i) AS mns,
+         list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i) AS spans
+  FROM st),
+coded AS (
+  SELECT {id_col},
+    list_transform(generate_series(1, {dim}), i ->
+      GREATEST(0, LEAST(255, CAST(FLOOR(
+        (CAST({vec_col}[i] AS DOUBLE) - mns[i]) * 255.0 / spans[i]
+      ) AS BIGINT)))) AS q
+  FROM {table}, rg),
 c AS (SELECT {id_col} AS neighbor_id, q FROM coded),
 q AS (SELECT {id_col} AS query_id, q FROM coded
       WHERE {id_col} IN (SELECT {id_col} FROM {table} WHERE {query_pred})),
-s AS (SELECT q.query_id, c.neighbor_id, CAST({dsum} AS BIGINT) AS qdist
+s AS (SELECT q.query_id, c.neighbor_id,
+             CAST(list_reduce(list_transform(generate_series(1, {dim}),
+                    i -> (c.q[i] - q.q[i]) * (c.q[i] - q.q[i])),
+                  (a, b) -> a + b) AS BIGINT) AS qdist
       FROM c, q WHERE c.neighbor_id != q.query_id)
 SELECT query_id, neighbor_id, qdist, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

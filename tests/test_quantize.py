@@ -82,3 +82,51 @@ def test_oracle_parity_second_sf(spark):
     )
     want = sorted(map(tuple, con.execute(_o_quantized_ann()).fetchall()))
     assert got == want
+
+
+def test_d512_constant_plan_size_and_correctness(spark):
+    """Round 7: real embedding dims are 768-4096 — the quantize
+    expression must stay constant-size in D (two array literals + a
+    zip_with chain), never per-index unrolling (O(D^2) optimized tree).
+    Pins (a) structural shape, (b) bit-exact codes at D=512 vs the
+    pure-Python replay, (c) a generous wall bound that the unrolled
+    form could not meet."""
+    import time
+
+    import numpy as np
+
+    D, N = 512, 120
+    # round through float32 up front: the table column is array<float>,
+    # so the replay must see the same float32-rounded values Spark stores
+    vecs = [
+        [float(np.float32(math.sin(0.1 * i * (j + 1)) * (j % 7 + 1)))
+         for j in range(D)]
+        for i in range(N)
+    ]
+    df = _emb(spark, vecs)
+
+    t0 = time.monotonic()
+    ranges = measure_ranges(df)
+    assert len(ranges) == D
+    q = with_quantized(df, ranges)
+    # structural pin: the code expression references the vector through
+    # exactly two zip_with nodes, zero per-index accesses
+    plan = q._jdf.queryExecution().analyzed().toString()
+    assert plan.count("zip_with") == 2
+    assert "embedding#" in plan and "[511]" not in plan
+
+    top = quantized_topk(df, df.filter(F.col("vec_id") < 3), ranges, k=3)
+    got = sorted(map(tuple, top.collect()))
+    wall = time.monotonic() - t0
+    assert wall < 60, f"D=512 quantize+topk took {wall:.1f}s"
+
+    codes = dict(zip(range(N), _py_codes(vecs, ranges)))
+    want = []
+    for qid in range(3):
+        ds = sorted(
+            (sum((a - b) ** 2 for a, b in zip(codes[nid], codes[qid])), nid)
+            for nid in range(N) if nid != qid
+        )
+        for rank, (d, nid) in enumerate(ds[:3], 1):
+            want.append((qid, nid, d, rank))
+    assert got == sorted(want)

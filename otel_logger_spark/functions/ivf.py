@@ -166,3 +166,62 @@ def ivf_topk(
             "query_id", "neighbor_id", "sim_micro", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ranges: list[tuple[float, float]],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The COMPOSED 100 TB ANN path: IVF coarse probe for candidates,
+    int8 quantized-L2 re-rank (functions/quantize.py) for the ranking.
+
+    Candidate volume drops ~n_clusters/n_probe versus brute force (the
+    probe join is a broadcast equi-join on cluster_id — the corpus never
+    crosses an exchange), and each candidate comparison moves 1-byte
+    codes instead of float32, so the re-rank scan is ~4x lighter than
+    ivf_topk's float path and integer-exact. Ranking semantics:
+    quantized L2 over the probed lists, (qdist asc, neighbor_id asc) —
+    its own deterministic contract, oracled end-to-end
+    (oracles_ivf.ivf_quantized_oracle)."""
+    from otel_logger_spark.functions.quantize import (
+        quantized_distance,
+        with_quantized,
+    )
+
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, k=n_clusters, vec_col=vec_col, seed=seed, id_col=id_col
+        )
+    indexed = with_quantized(
+        ivf_index(corpus, centroids, id_col, vec_col), ranges, vec_col, "_cq"
+    ).select(F.col(id_col).alias("neighbor_id"), "_cq", "cluster_id")
+    q = with_quantized(
+        _as_double(queries, vec_col), ranges, vec_col, "_qq"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        "_qq",
+        F.explode(
+            _nearest_centroid_cols(vec_col, centroids, n_probe)
+        ).alias("cluster_id"),
+    )
+    cands = indexed.join(F.broadcast(q), "cluster_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("qdist", quantized_distance("_cq", "_qq"))
+        .select("query_id", "neighbor_id", "qdist")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

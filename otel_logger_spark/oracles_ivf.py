@@ -186,3 +186,76 @@ SELECT query_id, neighbor_id, sim_micro, rank FROM (
   FROM s)
 WHERE rank <= {k}
 """
+
+
+def ivf_quantized_oracle(
+    parquet_path: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    query_pred: str = "vec_id < 20",
+) -> str:
+    """Oracle for the COMPOSED path (functions/ivf.ivf_quantized_topk):
+    IVF candidate generation re-derived exactly as in ivf_topk_oracle
+    (shared centroid derivation, same assignment/probe ROW_NUMBER cuts),
+    then the int8 re-rank re-derived exactly as in
+    quantize.quantized_topk_sql (same per-dimension ranges, same
+    list_transform code arithmetic, same BIGINT distance fold). Output:
+    (query_id, neighbor_id, qdist, rank) with rank by (qdist asc,
+    neighbor_id asc) within the probed candidate set."""
+    centroids = train_centroids_from_parquet(
+        parquet_path, k=n_clusters, seed=seed
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {cid} AS cid, ({_sq_dist('embedding', c)}) AS d "
+        "FROM embeddings"
+        for cid, c in enumerate(centroids)
+    )
+    return f"""
+WITH cd AS (
+  {branches}
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd) WHERE rn = 1),
+probes AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd WHERE {query_pred}) WHERE rn <= {n_probe}),
+st AS (
+  SELECT i,
+         MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, generate_series(1, {dim}) AS g(i) GROUP BY i),
+rg AS (
+  SELECT list(mn ORDER BY i) AS mns,
+         list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i) AS spans
+  FROM st),
+coded AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, {dim}), i ->
+      GREATEST(0, LEAST(255, CAST(FLOOR(
+        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0 / spans[i]
+      ) AS BIGINT)))) AS q
+  FROM embeddings, rg),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probes q JOIN assign c USING (cluster_id)
+  WHERE c.vec_id != q.vec_id),
+s AS (
+  SELECT query_id, neighbor_id,
+    CAST(list_reduce(list_transform(generate_series(1, {dim}),
+           i -> (cq.q[i] - qq.q[i]) * (cq.q[i] - qq.q[i])),
+         (a, b) -> a + b) AS BIGINT) AS qdist
+  FROM cand
+  JOIN coded cq ON cq.vec_id = neighbor_id
+  JOIN coded qq ON qq.vec_id = query_id)
+SELECT query_id, neighbor_id, qdist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""

@@ -586,6 +586,43 @@ def _o_ann_ivf_topk() -> str | None:
     return ivf_topk_oracle(path, k=5, n_clusters=16, n_probe=4, dim=64, seed=42)
 
 
+def q_ann_ivf_quantized(spark, sf_dir):
+    """The COMPOSED 100 TB ANN path (round-6 verdict item 4): IVF coarse
+    probe prunes candidates to the n_probe nearest inverted lists, then
+    int8 quantized-L2 re-ranks them — no brute-force NLJ over the
+    corpus, and the re-rank moves 1-byte codes instead of float32. The
+    oracle re-derives the whole chain: independent training-sample +
+    shared Lloyd centroids as literals (oracles_ivf.py discipline), the
+    same assignment/probe cuts, the same per-dimension ranges and code
+    arithmetic (quantize.py discipline), the same BIGINT distance
+    fold."""
+    from otel_logger_spark.functions.ivf import ivf_quantized_topk
+    from otel_logger_spark.functions.quantize import measure_ranges
+
+    emb = _load_embeddings(spark, sf_dir)
+    ranges = measure_ranges(emb)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_quantized_topk(
+        emb, queries, ranges, k=5, n_clusters=16, n_probe=4
+    )
+
+
+def _o_ann_ivf_quantized() -> str | None:
+    """Same data-dependence as _o_ann_ivf_topk (centroids + ranges come
+    from the gate's own input)."""
+    import os
+
+    from otel_logger_spark.oracles_ivf import ivf_quantized_oracle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    return ivf_quantized_oracle(
+        path, k=5, n_clusters=16, n_probe=4, dim=64, seed=42
+    )
+
+
 # --- text analysis ---------------------------------------------------------------
 
 
@@ -1017,6 +1054,7 @@ QUERIES_C = {
     "token_mix": q_token_mix,
     "fixed_k_sample": q_fixed_k_sample,
     "quantized_ann": q_quantized_ann,
+    "ann_ivf_quantized": q_ann_ivf_quantized,
 }
 
 ORACLES_C = {
@@ -1063,10 +1101,14 @@ def resolve_lazy_oracles(oracles: dict) -> dict:
     degrades that ONE query to the rows-only check instead of breaking
     the module import."""
     out = dict(oracles)
-    try:
-        ivf = _o_ann_ivf_topk()
-    except Exception:
-        ivf = None
-    if ivf is not None:
-        out["ann_ivf_topk"] = ivf
+    for name, gen in (
+        ("ann_ivf_topk", _o_ann_ivf_topk),
+        ("ann_ivf_quantized", _o_ann_ivf_quantized),
+    ):
+        try:
+            sql = gen()
+        except Exception:
+            sql = None
+        if sql is not None:
+            out[name] = sql
     return out

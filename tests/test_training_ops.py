@@ -405,6 +405,56 @@ def test_ivf_oracle_training_and_topk_bitexact(spark, emb):
     assert got == exp
 
 
+def test_ivf_quantized_composed_path(spark, emb):
+    """The composed 100 TB ANN path (IVF probe -> int8 re-rank): oracle
+    parity at a second SF, candidate-set consistency with ivf_topk (the
+    pruning is shared), recall against the exact quantized ranking, and
+    the no-NLJ plan shape."""
+    import duckdb
+
+    from otel_logger_spark.functions.ivf import ivf_quantized_topk, ivf_topk
+    from otel_logger_spark.functions.quantize import (
+        measure_ranges,
+        quantized_topk,
+    )
+    from otel_logger_spark.oracles_ivf import ivf_quantized_oracle
+
+    path = f"{SF}/embeddings.parquet"
+    ranges = measure_ranges(emb)
+    queries = emb.filter(F.col("vec_id") < 20)
+    df = ivf_quantized_topk(emb, queries, ranges, k=5, n_clusters=16, n_probe=4)
+
+    # plan shape: candidates come from an equi-join on cluster_id, never
+    # a nested-loop product over the corpus
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    got = {tuple(r) for r in df.collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    exp = {tuple(r) for r in con.sql(
+        ivf_quantized_oracle(path, k=5, n_clusters=16, n_probe=4)
+    ).fetchall()}
+    assert got == exp and len(got) > 0
+
+    # same probe lists as ivf_topk -> same candidate UNIVERSE; rankings
+    # differ only by metric (quantized L2 vs exact cosine)
+    float_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4).collect()
+    }
+    exact_q = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(emb, queries, ranges, k=5).collect()
+    }
+    pruned_pairs = {(q, n) for q, n, _, _ in got}
+    # recall of the pruned quantized ranking vs brute-force quantized
+    assert len(pruned_pairs & exact_q) / len(exact_q) >= 0.5
+    # both IVF variants saw the same lists: heavy overlap with the float path
+    assert len(pruned_pairs & float_pairs) / len(float_pairs) >= 0.4
+
+
 def test_multimodal_resize_frames_features(spark, docs):
     from otel_logger_spark.functions.multimodal import (
         as_media, resize_media, sample_frames, extract_features,

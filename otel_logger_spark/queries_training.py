@@ -742,10 +742,13 @@ FROM c GROUP BY 1, 2, 3
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Rolling-hash fingerprints, now ORACLE-CHECKED: the winnowing-lite
+    """Rolling-hash fingerprints, ORACLE-CHECKED: the winnowing-lite
     min-window polynomial hash is re-derived independently in DuckDB SQL
     (list_reduce over code points per 32-char window, HUGEINT modular
     arithmetic) — a genuine cross-engine computation, not a golden pin.
+    Round 7: the engine is the numpy prefix-hash vectorization (bit-
+    identical; ~2x per byte vs the per-char loop — BENCH/AB_fingerprint.md,
+    which also records why the measured pure-JVM fold stays opt-in).
     pytest additionally pins golden values + the append-robustness
     property."""
     docs = with_fingerprint(_load_documents(spark, sf_dir))

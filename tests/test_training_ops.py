@@ -128,6 +128,71 @@ def test_cosine_topk_self_excluded_and_ranked(spark, emb):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_fingerprint_vectorized_bitexact_vs_reference():
+    """The numpy prefix-hash batch path (the UDF's engine) and the
+    pure-JVM expression variant must both equal the per-char reference
+    on adversarial lengths (0, 1, boundary 31/32/33, long, repeated-min,
+    non-ASCII, chunk-boundary mixes)."""
+    import random
+
+    from otel_logger_spark.functions.text import fingerprints_batch
+
+    random.seed(11)
+    texts = ["", "x", "a" * 31, "b" * 32, "c" * 33, "dup " * 200]
+    for _ in range(400):
+        ln = random.choice([0, 1, 5, 31, 32, 33, 64, random.randint(1, 700)])
+        texts.append(
+            "".join(chr(random.randint(32, 2000)) for _ in range(ln))
+        )
+    got = fingerprints_batch(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == fingerprint_text(t) - (1 << 62), (i, len(t))
+
+
+def test_fingerprint_chunking_invariant():
+    """Chunk boundaries cannot change results: force multi-chunk by
+    shrinking the cap."""
+    from otel_logger_spark.functions import text as tx
+
+    texts = [f"doc {i} " + "z" * (i % 90) for i in range(200)]
+    whole = tx.fingerprints_batch(texts)
+    old = tx._FP_CHUNK_CHARS
+    try:
+        tx._FP_CHUNK_CHARS = 256
+        chunked = tx.fingerprints_batch(texts)
+    finally:
+        tx._FP_CHUNK_CHARS = old
+    assert list(whole) == list(chunked)
+
+
+def test_fingerprint_jvm_expr_matches_udf(spark, docs):
+    """with_fingerprint_jvm (0 Python stages, opt-in) == the UDF path on
+    real documents plus a null row."""
+    from pyspark.sql import types as T
+
+    from otel_logger_spark.functions.text import (
+        with_fingerprint,
+        with_fingerprint_jvm,
+    )
+
+    extra = spark.createDataFrame(
+        [(999999, None)],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in with_fingerprint(d).select("doc_id", "fingerprint").collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in with_fingerprint_jvm(d).select("doc_id", "fingerprint").collect()}
+    assert a == b and a[999999] is None
+    # the JVM variant's plan has zero Python stages
+    plan = with_fingerprint_jvm(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
 def test_fingerprint_properties():
     a = fingerprint_text("the quick brown fox " * 20)
     assert a == fingerprint_text("the quick brown fox " * 20)  # deterministic

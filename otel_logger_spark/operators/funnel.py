@@ -82,13 +82,20 @@ def funnel_counts(
     )
     reached = per_user.select(F.expr(fold).alias("_stage"))
     counts = reached.groupBy("_stage").agg(F.count(F.lit(1)).alias("_n"))
-    rows = {int(r["_stage"]): int(r["_n"]) for r in counts.collect()}
-    out = []
-    for i, s in enumerate(steps):
-        n = sum(v for k, v in rows.items() if k >= i + 1)
-        out.append((i + 1, s, n))
-    return spark.createDataFrame(
-        out, "step_idx int, step string, n_users long"
+    # prefix counts as a pure DF op (round 7: the collect+createDataFrame
+    # round trip is gone): each funnel prefix joins every stage count it
+    # subsumes — a broadcast >= join of one K-row literal relation
+    # against <= K+1 aggregated rows, so the "loop" is data-parallel and
+    # the query plan has no driver synchronization point
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx int, step string",
+    )
+    return (
+        F.broadcast(steps_df)
+        .join(counts, counts["_stage"] >= steps_df["step_idx"], "left")
+        .groupBy("step_idx", "step")
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_users"))
     )
 
 

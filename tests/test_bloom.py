@@ -128,3 +128,16 @@ def test_incremental_dedup_oracle_parity_sf0001(spark):
         for r in q_incremental_dedup(spark, sf).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_incremental_dedup_gate_reads_digest_store_not_parquet(spark):
+    """Round 7 (verdict item 5): the gate consumes history via a staged
+    digest store — its final plan contains ZERO parquet scans (the
+    staged inputs are read instead; the 3 construction scans run once
+    at staging), where the round-6 lazy form re-scanned
+    documents.parquet 22 times."""
+    from otel_logger_spark.queries_training import q_incremental_dedup
+
+    df = q_incremental_dedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan

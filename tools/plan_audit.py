@@ -112,15 +112,17 @@ COMMENT = {
         "corpus text crosses ZERO exchanges at any corpus size; only "
         "13-gram strings and ids move."),
     "incremental_dedup": (
-        "dedup against the ingested history: the history collapses to a "
-        "Bloom bitmap (one bit_or aggregate over <= m/64 word slots) that "
+        "dedup against the ingested history, consumed through a DIGEST "
+        "STORE (round 7): the constructed gate input stages once and the "
+        "history digests materialize exactly once — the final plan has "
+        "ZERO parquet scans (was 22). The store folds into a Bloom "
+        "bitmap (one bit_or aggregate over <= m/64 word slots) that "
         "re-broadcasts as an array literal, so the prefilter is a pure "
         "codegen filter on the batch — no join, no shuffle, no Python. "
         "Only bloom candidates' (id, digest) pairs reach the exact "
-        "digest semi-join; history text is projected to its digest "
-        "before anything wide, and a miss (the overwhelming case at "
-        "100 TB where most arriving content is new) costs k hash "
-        "probes and zero join rows."),
+        "digest semi-join against the store; a miss (the overwhelming "
+        "case at 100 TB where most arriving content is new) costs k "
+        "hash probes and zero join rows."),
     "tfidf_terms": (
         "salient terms: two aggregate exchanges the math requires (tf on "
         "(doc, term), df on term) + the term-keyed equi-join (AQE "
@@ -138,11 +140,20 @@ COMMENT = {
         "SMALL duplicated-start survivor set; the final join back to "
         "the narrow doc base ships only integers. No Python anywhere."),
     "quantized_ann": (
-        "int8 ANN: codes are per-row codegen (the 64-element projection "
-        "compiles once — wall time at gate scale is Catalyst "
-        "compilation, not data); the query side broadcasts; distances "
-        "are an integer zip_with fold. At 100 TB the same codes feed "
-        "LSH/IVF candidate pruning with 4x fewer bytes moved."),
+        "int8 ANN, brute-force reference ranking: ranges travel as two "
+        "single array literals and codes as a zip_with chain — "
+        "expression size constant in D (round 7; the old D-unrolled "
+        "form was all Catalyst compile at the gate and hostile at "
+        "D=768-4096); the query side broadcasts; distances are an "
+        "integer zip_with fold. The scale path is ann_ivf_quantized."),
+    "ann_ivf_quantized": (
+        "the COMPOSED 100 TB ANN path: IVF probe joins the quantized "
+        "corpus on cluster_id (broadcast equi-join — the corpus never "
+        "crosses an exchange, no NLJ/cartesian anywhere in the plan), "
+        "then the re-rank distance folds 1-byte codes, integer-exact. "
+        "Candidate volume drops ~n_clusters/n_probe vs brute force and "
+        "each candidate moves 4x fewer bytes than float32; at 100 TB "
+        "only the probed inverted lists are scored per query."),
     "fixed_k_sample": (
         "exact-k sample: one (key, id) window shuffle per stratum; "
         "rank <= k cuts below the sort via the window group limit, so "
@@ -151,8 +162,12 @@ COMMENT = {
         "funnel: ONE shuffle (groupBy user) collects (epoch, type) "
         "structs; the greedy gap-bounded walk is a codegen aggregate() "
         "fold with O(1) state per user — no window over the raw event "
-        "stream, no Python. Per-user history arrays are bounded by user "
-        "activity; cap upstream for pathological users."),
+        "stream, no Python. Round 7: prefix counts are a broadcast "
+        ">=-join of the K-row step relation against the per-stage "
+        "aggregate — the former collect+createDataFrame driver round "
+        "trip is gone; the plan is one straight-line query. Per-user "
+        "history arrays are bounded by user activity; cap upstream for "
+        "pathological users."),
     "token_mix": (
         "mix allocation: the rate derivation is ONE aggregate "
         "(per-source token totals, O(sources) driver state); the keep "
@@ -277,6 +292,9 @@ def main():
 
     dfs["fixed_k_sample"] = q_fixed_k_sample(spark, sf_dir)
     dfs["quantized_ann"] = q_quantized_ann(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_ann_ivf_quantized
+
+    dfs["ann_ivf_quantized"] = q_ann_ivf_quantized(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

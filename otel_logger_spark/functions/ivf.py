@@ -83,23 +83,29 @@ def train_centroids(
 
 
 def _nearest_centroid_cols(vec_col: str, centroids: list[list[float]], n: int = 1):
-    """Expression computing the id(s) of the n nearest centroids (L2)."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(v)) for v in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    """Expression computing the id(s) of the n nearest centroids (L2).
+
+    Round 7: the centroid table is k single array<double> literals
+    consumed by an index-aware transform — expression size O(k), not
+    O(k*D) unrolled terms (the quantize.py lesson; at real embedding
+    dims 768-4096 with hundreds of coarse centroids the unrolled tree
+    melts Catalyst). The per-centroid distance stays the IDENTICAL
+    zip_with/aggregate fold, so distances — and therefore assignments
+    and probe order — are bit-unchanged (the DuckDB oracle re-derives
+    the same left-associated sums)."""
+    cents = F.array(*[
+        F.lit([float(v) for v in c]).cast("array<double>") for c in centroids
+    ])
+    dists = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
     )
     ranked = F.slice(F.array_sort(dists), 1, n)
     return F.transform(ranked, lambda s: s["cid"])

@@ -470,6 +470,47 @@ def test_ivf_oracle_training_and_topk_bitexact(spark, emb):
     assert got == exp
 
 
+def test_nearest_centroid_expression_scales_in_dim(spark):
+    """Round 7: the centroid-distance expression is O(k) nodes (k array
+    literals + one indexed transform), never O(k*D) unrolled terms.
+    Assignments must equal a sequential-fold Python replay (same
+    left-associated double arithmetic), and a k=64/D=512 plan must
+    build and run inside a generous wall."""
+    import math
+    import time
+
+    import numpy as np
+
+    from otel_logger_spark.functions.ivf import ivf_index
+
+    D, N, K = 512, 80, 64
+    vecs = [
+        [float(np.float32(math.cos(0.05 * i * (j + 3)))) for j in range(D)]
+        for i in range(N)
+    ]
+    cents = [[float(np.float32(math.sin(0.07 * c * (j + 1))))
+              for j in range(D)] for c in range(K)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    t0 = time.monotonic()
+    got = {r["vec_id"]: r["cluster_id"]
+           for r in ivf_index(df, cents).select("vec_id", "cluster_id").collect()}
+    wall = time.monotonic() - t0
+    assert wall < 60, f"k=64/D=512 assignment took {wall:.1f}s"
+
+    def fold_dist(v, c):
+        acc = 0.0
+        for a, b in zip(v, c):
+            acc = acc + (a - b) * (a - b)
+        return acc
+
+    for i, v in enumerate(vecs[:20]):
+        ds = [(fold_dist(v, c), cid) for cid, c in enumerate(cents)]
+        assert got[i] == min(ds)[1]
+
+
 def test_ivf_quantized_composed_path(spark, emb):
     """The composed 100 TB ANN path (IVF probe -> int8 re-rank): oracle
     parity at a second SF, candidate-set consistency with ivf_topk (the

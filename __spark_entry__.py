@@ -40,6 +40,7 @@ GATE_DEFERRED: list[str] = [
     "region_rollup",
     "distinct_users",
     "dedup_clusters",  # dedup_clusters_two_phase (same oracle) stays verified
+    "ngram_jaccard",  # its pairs feed dedup_clusters_two_phase, which stays
     "training_mix",
     "weighted_sample",
     "lang_id",

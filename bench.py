@@ -176,6 +176,7 @@ def main():
             run("fixed_k_sample", lambda: QT.q_fixed_k_sample(spark, sf_dir).collect())
             run("quantized_ann", lambda: QT.q_quantized_ann(spark, sf_dir).collect())
             run("ann_ivf_quantized", lambda: QT.q_ann_ivf_quantized(spark, sf_dir).collect())
+            run("semantic_dedup", lambda: QT.q_semantic_dedup(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

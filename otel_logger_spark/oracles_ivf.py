@@ -259,3 +259,52 @@ SELECT query_id, neighbor_id, qdist, rank FROM (
   FROM s)
 WHERE rank <= {k}
 """
+
+
+def semantic_dedup_oracle(
+    parquet_path: str,
+    n_clusters: int = 16,
+    threshold_micro: int = 950_000,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Oracle for functions/semdedup.semantic_dedup_report: shared
+    centroid derivation, same nearest-centroid assignment cut, same
+    cosine rendering (floor(1e6*dot/(na*nb)), identical left-associated
+    double sums), same lower-id-wins drop rule, same per-cluster
+    accounting."""
+    centroids = train_centroids_from_parquet(
+        parquet_path, k=n_clusters, seed=seed
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {cid} AS cid, ({_sq_dist('embedding', c)}) AS d "
+        "FROM embeddings"
+        for cid, c in enumerate(centroids)
+    )
+    dot_ab = _dot_cols("ea.embedding", "eb.embedding", dim)
+    norm = _dot_cols("embedding", "embedding", dim)
+    return f"""
+WITH cd AS (
+  {branches}
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd) WHERE rn = 1),
+norms AS (SELECT vec_id, SQRT({norm}) AS nrm FROM embeddings),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b USING (cluster_id)
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id > b.vec_id
+    AND FLOOR((1000000 * ({dot_ab})) / (na.nrm * nb.nrm)) >= {threshold_micro})
+SELECT a.cluster_id,
+       COUNT(*) AS n_vecs,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
+GROUP BY a.cluster_id
+"""

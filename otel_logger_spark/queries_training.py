@@ -623,6 +623,35 @@ def _o_ann_ivf_quantized() -> str | None:
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (functions/semdedup.py): IVF
+    clusters bucket the corpus, lower-id-wins drops within each cluster
+    at cosine >= 0.93, per-cluster accounting. The oracle re-derives
+    centroids, assignment, the cosine rendering and the drop rule
+    end-to-end (oracles_ivf.semantic_dedup_oracle)."""
+    from otel_logger_spark.functions.semdedup import semantic_dedup_report
+
+    emb = _load_embeddings(spark, sf_dir)
+    return semantic_dedup_report(
+        emb, n_clusters=16, threshold_micro=930_000
+    )
+
+
+def _o_semantic_dedup() -> str | None:
+    """Same data-dependence as the other IVF-family oracles."""
+    import os
+
+    from otel_logger_spark.oracles_ivf import semantic_dedup_oracle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    return semantic_dedup_oracle(
+        path, n_clusters=16, threshold_micro=930_000, dim=64, seed=42
+    )
+
+
 # --- text analysis ---------------------------------------------------------------
 
 
@@ -1076,6 +1105,7 @@ QUERIES_C = {
     "fixed_k_sample": q_fixed_k_sample,
     "quantized_ann": q_quantized_ann,
     "ann_ivf_quantized": q_ann_ivf_quantized,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES_C = {
@@ -1125,6 +1155,7 @@ def resolve_lazy_oracles(oracles: dict) -> dict:
     for name, gen in (
         ("ann_ivf_topk", _o_ann_ivf_topk),
         ("ann_ivf_quantized", _o_ann_ivf_quantized),
+        ("semantic_dedup", _o_semantic_dedup),
     ):
         try:
             sql = gen()

@@ -146,6 +146,13 @@ COMMENT = {
         "form was all Catalyst compile at the gate and hostile at "
         "D=768-4096); the query side broadcasts; distances are an "
         "integer zip_with fold. The scale path is ann_ivf_quantized."),
+    "semantic_dedup": (
+        "SemDeDup: the only corpus-sized movement is ONE shuffle on "
+        "cluster_id for the within-cluster self-join — candidate volume "
+        "sum |cluster|^2, not N^2; norms/assignments are per-row "
+        "projections and the dropped-id set broadcasts into the "
+        "accounting join. A runaway cluster is a skew key: diagnose "
+        "with cms.skew_advisor, raise n_clusters, or salt."),
     "ann_ivf_quantized": (
         "the COMPOSED 100 TB ANN path: IVF probe joins the quantized "
         "corpus on cluster_id (broadcast equi-join — the corpus never "
@@ -295,6 +302,9 @@ def main():
     from otel_logger_spark.queries_training import q_ann_ivf_quantized
 
     dfs["ann_ivf_quantized"] = q_ann_ivf_quantized(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_semantic_dedup
+
+    dfs["semantic_dedup"] = q_semantic_dedup(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

@@ -41,6 +41,7 @@ GATE_DEFERRED: list[str] = [
     "distinct_users",
     "dedup_clusters",  # dedup_clusters_two_phase (same oracle) stays verified
     "ngram_jaccard",  # its pairs feed dedup_clusters_two_phase, which stays
+    "simhash_pairs",  # minhash_pairs keeps the near-dup family verified
     "training_mix",
     "weighted_sample",
     "lang_id",

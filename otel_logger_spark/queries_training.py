@@ -652,6 +652,53 @@ def _o_semantic_dedup() -> str | None:
     )
 
 
+_SPLIT_RATIOS = [("train", 800), ("val", 100), ("test", 100)]
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (functions/split.py): the unit
+    of assignment is the near-dup CLUSTER (transitive closure over exact
+    n-gram Jaccard pairs), so no near-duplicate pair can straddle a
+    split. Key, interval thresholds and assignment are pure integer
+    arithmetic re-derived bit-for-bit by the oracle (recursive-CTE
+    closure + the identical Knuth-key CASE chain)."""
+    from otel_logger_spark.functions.graph import dedup_clusters
+    from otel_logger_spark.functions.split import split_report
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    clusters = dedup_clusters(
+        corpus.select("doc_id"), pairs.select("doc_a", "doc_b")
+    )
+    return split_report(clusters, _SPLIT_RATIOS)
+
+
+def _o_leakage_split() -> str:
+    from otel_logger_spark.functions.split import split_case_sql
+
+    case = split_case_sql("cluster_id", _SPLIT_RATIOS)
+    return (
+        corpus_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _NGRAM_CHAIN
+        + f"""
+ , pairs AS (
+   SELECT doc_a, doc_b FROM common
+   JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+   WHERE FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= 500),
+ edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+ reach(node, label) AS (
+   SELECT doc_id, doc_id FROM corpus
+   UNION
+   SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u),
+ lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1)
+ SELECT {case} AS split, COUNT(*) AS n_docs,
+        COUNT(DISTINCT cluster_id) AS n_units,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+ FROM lab GROUP BY 1"""
+    )
+
+
 # --- text analysis ---------------------------------------------------------------
 
 
@@ -1106,6 +1153,7 @@ QUERIES_C = {
     "quantized_ann": q_quantized_ann,
     "ann_ivf_quantized": q_ann_ivf_quantized,
     "semantic_dedup": q_semantic_dedup,
+    "leakage_split": q_leakage_split,
 }
 
 ORACLES_C = {
@@ -1140,6 +1188,7 @@ ORACLES_C = {
     "token_mix": _o_token_mix(),
     "fixed_k_sample": O_FIXED_K_SAMPLE,
     "quantized_ann": _o_quantized_ann(),
+    "leakage_split": _o_leakage_split(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

@@ -42,6 +42,8 @@ GATE_DEFERRED: list[str] = [
     "dedup_clusters",  # dedup_clusters_two_phase (same oracle) stays verified
     "ngram_jaccard",  # its pairs feed dedup_clusters_two_phase, which stays
     "simhash_pairs",  # minhash_pairs keeps the near-dup family verified
+    "embedding_near_dup",  # ann_lsh/ivf/semantic keep the embedding family
+    "multimodal_decode",  # codec fake unchanged since r5; plumbing tests stay
     "training_mix",
     "weighted_sample",
     "lang_id",

@@ -177,6 +177,8 @@ def main():
             run("quantized_ann", lambda: QT.q_quantized_ann(spark, sf_dir).collect())
             run("ann_ivf_quantized", lambda: QT.q_ann_ivf_quantized(spark, sf_dir).collect())
             run("semantic_dedup", lambda: QT.q_semantic_dedup(spark, sf_dir).collect())
+            run("leakage_split", lambda: QT.q_leakage_split(spark, sf_dir).collect())
+            run("dsir_select", lambda: QT.q_dsir_select(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

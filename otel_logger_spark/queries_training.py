@@ -699,6 +699,70 @@ def _o_leakage_split() -> str:
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling selection (functions/dsir.py): hashed
+    unigram+bigram buckets, integer log-ratio lambdas from the corpus's
+    own target (lang='en') vs source distributions, exact integer
+    scores, deterministic top-100. The oracle re-derives tokenization,
+    XXH64 bucketing, both count vectors, scoring and ranking in DuckDB
+    (oracles_dsir.py); only the lambda formula is shared."""
+    from otel_logger_spark.functions.dsir import dsir_select
+
+    corpus = load_corpus(spark, sf_dir)
+    target = corpus.filter(F.col("lang") == "en")
+    return dsir_select(corpus, target, k=100).select(
+        "doc_id", "dsir_score", "lang"
+    )
+
+
+def _o_dsir_select() -> str | None:
+    """Count vectors depend on the corpus, so the generator reads the
+    gate's own input (the _o_ann_ivf_topk discipline)."""
+    import os
+
+    from otel_logger_spark.oracles_dsir import dsir_select_oracle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    return dsir_select_oracle(path, k=100)
+
+
+_VOCAB_K = 16
+
+
+def q_vocab_oov(spark, sf_dir):
+    """Vocabulary construction + OOV coverage (functions/vocab.py):
+    top-16 token vocab (the synthetic pool has only 31 distinct tokens,
+    so k=16 makes coverage non-trivial) under a total (count DESC,
+    tok ASC) order, then
+    per-language OOV occurrence counts and integer milli rates. The
+    oracle re-derives the vocab and coverage entirely in SQL."""
+    from otel_logger_spark.functions.vocab import oov_report
+
+    corpus = load_corpus(spark, sf_dir)
+    return oov_report(corpus, k=_VOCAB_K)
+
+
+O_VOCAB_OOV = (
+    corpus_cte()
+    + f"""
+ , dw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus),
+ toks AS (SELECT doc_id, lang, unnest(w) AS tok FROM dw),
+ vc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+ vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok ASC LIMIT {_VOCAB_K}),
+ pd AS (SELECT doc_id, lang, COUNT(*) AS n_tok,
+        COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab)) AS n_oov
+        FROM toks GROUP BY 1, 2)
+ SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_oov) AS BIGINT) AS sum_oov,
+        CAST((1000 * SUM(n_oov)) // SUM(n_tok) AS BIGINT) AS oov_milli
+ FROM pd GROUP BY 1"""
+)
+
+
 # --- text analysis ---------------------------------------------------------------
 
 
@@ -1154,6 +1218,8 @@ QUERIES_C = {
     "ann_ivf_quantized": q_ann_ivf_quantized,
     "semantic_dedup": q_semantic_dedup,
     "leakage_split": q_leakage_split,
+    "dsir_select": q_dsir_select,
+    "vocab_oov": q_vocab_oov,
 }
 
 ORACLES_C = {
@@ -1189,6 +1255,7 @@ ORACLES_C = {
     "fixed_k_sample": O_FIXED_K_SAMPLE,
     "quantized_ann": _o_quantized_ann(),
     "leakage_split": _o_leakage_split(),
+    "vocab_oov": O_VOCAB_OOV,
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:
@@ -1205,6 +1272,7 @@ def resolve_lazy_oracles(oracles: dict) -> dict:
         ("ann_ivf_topk", _o_ann_ivf_topk),
         ("ann_ivf_quantized", _o_ann_ivf_quantized),
         ("semantic_dedup", _o_semantic_dedup),
+        ("dsir_select", _o_dsir_select),
     ):
         try:
             sql = gen()

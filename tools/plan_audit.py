@@ -146,6 +146,29 @@ COMMENT = {
         "form was all Catalyst compile at the gate and hostile at "
         "D=768-4096); the query side broadcasts; distances are an "
         "integer zip_with fold. The scale path is ann_ivf_quantized."),
+    "leakage_split": (
+        "split assignment is a pure codegen CASE over the cluster ids the "
+        "upstream CC produced (localCheckpoint barrier) — the split itself "
+        "adds ZERO exchanges beyond cluster derivation; the report is one "
+        "partial+final aggregate on a 3-value key. At 100 TB the cluster "
+        "table is the already-materialized dedup output, so splitting is "
+        "scan + aggregate, nothing else."),
+    "dsir_select": (
+        "scoring is one codegen aggregate() fold per row against ONE "
+        "B-long array literal (constant expression size in B — the "
+        "quantize.py lesson); the two distribution legs partial-aggregate "
+        "map-side to <= B*partitions tiny rows before their exchanges and "
+        "collect only B counts to the driver (bounded state). Selection "
+        "is TakeOrderedAndProject: per-partition top-k heap + k-row "
+        "driver merge, never a global sort. Token strings never cross an "
+        "exchange anywhere."),
+    "vocab_oov": (
+        "vocab leg: explode is a same-partition projection, token counts "
+        "partial-aggregate map-side, top-k is TakeOrderedAndProject. "
+        "Coverage leg: tokens probe the BROADCAST vocab, then the per-doc "
+        "aggregate collapses map-side (explode keeps a doc's tokens in "
+        "its source partition) so the exchange moves ~one count row per "
+        "doc, not one per token."),
     "semantic_dedup": (
         "SemDeDup: the only corpus-sized movement is ONE shuffle on "
         "cluster_id for the within-cluster self-join — candidate volume "
@@ -305,6 +328,15 @@ def main():
     from otel_logger_spark.queries_training import q_semantic_dedup
 
     dfs["semantic_dedup"] = q_semantic_dedup(spark, sf_dir)
+    from otel_logger_spark.queries_training import (
+        q_dsir_select,
+        q_leakage_split,
+        q_vocab_oov,
+    )
+
+    dfs["leakage_split"] = q_leakage_split(spark, sf_dir)
+    dfs["dsir_select"] = q_dsir_select(spark, sf_dir)
+    dfs["vocab_oov"] = q_vocab_oov(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

@@ -179,6 +179,7 @@ def main():
             run("semantic_dedup", lambda: QT.q_semantic_dedup(spark, sf_dir).collect())
             run("leakage_split", lambda: QT.q_leakage_split(spark, sf_dir).collect())
             run("dsir_select", lambda: QT.q_dsir_select(spark, sf_dir).collect())
+            run("source_overlap", lambda: QT.q_source_overlap(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

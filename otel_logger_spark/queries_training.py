@@ -729,6 +729,36 @@ def _o_dsir_select() -> str | None:
     return dsir_select_oracle(path, k=100)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source shingle overlap (functions/overlap.py): exact
+    distinct-shingle vocabularies per source and integer milli Jaccard
+    for every source pair — the corpus-diversity audit behind mix
+    planning. Oracle re-derives the set arithmetic in SQL."""
+    from otel_logger_spark.functions.overlap import source_overlap_report
+
+    return source_overlap_report(load_corpus(spark, sf_dir), n=3)
+
+
+O_SOURCE_OVERLAP = (
+    corpus_cte()
+    + """
+ , w AS (SELECT source, string_split(text, ' ') AS words FROM corpus),
+ sh AS (SELECT DISTINCT source, array_to_string(words[i : i+2], ' ') AS shingle
+        FROM w, UNNEST(generate_series(1, greatest(len(words)-2, 0))) AS u(i)),
+ sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+ common AS (SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_common
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.source < b.source GROUP BY 1, 2)
+ SELECT source_a, source_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+        CAST(FLOOR(1000 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT)
+          AS j_milli
+ FROM common
+ JOIN sizes sa ON sa.source = source_a
+ JOIN sizes sb ON sb.source = source_b"""
+)
+
+
 _VOCAB_K = 16
 
 
@@ -1220,6 +1250,7 @@ QUERIES_C = {
     "leakage_split": q_leakage_split,
     "dsir_select": q_dsir_select,
     "vocab_oov": q_vocab_oov,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES_C = {
@@ -1256,6 +1287,7 @@ ORACLES_C = {
     "quantized_ann": _o_quantized_ann(),
     "leakage_split": _o_leakage_split(),
     "vocab_oov": O_VOCAB_OOV,
+    "source_overlap": O_SOURCE_OVERLAP,
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

@@ -146,6 +146,16 @@ COMMENT = {
         "form was all Catalyst compile at the gate and hostile at "
         "D=768-4096); the query side broadcasts; distances are an "
         "integer zip_with fold. The scale path is ann_ivf_quantized."),
+    "source_overlap": (
+        "the visible plan consumes the localCheckpoint-ed S^2-row pair-"
+        "count table (hence 0 exchanges here); the checkpointed subplan "
+        "is ONE corpus traversal + ONE exchange: explode -> map-side "
+        "collect_set partials -> per-shingle sorted source sets -> "
+        "self+cross pair expansion (<= S^2 rows per shingle, a constant) "
+        "-> one S^2-key aggregate whose diagonal is the per-source "
+        "vocabulary size and off-diagonal the pair intersections. The "
+        "first draft self-joined the distinct table and re-shingled the "
+        "corpus 3x (9 scans) — no cross-branch CSE in Catalyst."),
     "leakage_split": (
         "split assignment is a pure codegen CASE over the cluster ids the "
         "upstream CC produced (localCheckpoint barrier) — the split itself "
@@ -334,6 +344,9 @@ def main():
         q_vocab_oov,
     )
 
+    from otel_logger_spark.queries_training import q_source_overlap
+
+    dfs["source_overlap"] = q_source_overlap(spark, sf_dir)
     dfs["leakage_split"] = q_leakage_split(spark, sf_dir)
     dfs["dsir_select"] = q_dsir_select(spark, sf_dir)
     dfs["vocab_oov"] = q_vocab_oov(spark, sf_dir)

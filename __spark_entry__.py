@@ -45,6 +45,7 @@ GATE_DEFERRED: list[str] = [
     "embedding_near_dup",  # ann_lsh/ivf/semantic keep the embedding family
     "multimodal_decode",  # codec fake unchanged since r5; plumbing tests stay
     "tfidf_terms",  # unchanged since r6; df/tf machinery covered by tests
+    "snapshot_diff",  # unchanged since r6; digest chain covered by tests
     "training_mix",
     "weighted_sample",
     "lang_id",

@@ -180,6 +180,7 @@ def main():
             run("leakage_split", lambda: QT.q_leakage_split(spark, sf_dir).collect())
             run("dsir_select", lambda: QT.q_dsir_select(spark, sf_dir).collect())
             run("source_overlap", lambda: QT.q_source_overlap(spark, sf_dir).collect())
+            run("lm_fluency", lambda: QT.q_lm_fluency(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -759,6 +759,76 @@ O_SOURCE_OVERLAP = (
 )
 
 
+_LM_K = 16
+# mean-token-NLL cut in micro-nats: ~45% of the sf0.01 corpus passes,
+# with the en-trained reference passing en docs at a visibly higher rate
+# (48% vs 36% zh) — a non-trivial, behaviorally-sensible gate
+_LM_THRESHOLD_MICRO = 5_600_000
+
+
+def q_lm_fluency(spark, sf_dir):
+    """Unigram-LM fluency scoring (functions/lmscore.py, CCNet-style
+    perplexity proxy): add-one-smoothed NLL table from the lang='en'
+    reference leg, zero-shuffle integer mean-NLL scoring against one
+    K-entry literal map, per-language fluency-cut accounting. The oracle
+    re-derives reference counts, the LEFT-JOIN scoring and the integer
+    division in DuckDB; only the nll formula is shared (the DSIR
+    lambda discipline)."""
+    from otel_logger_spark.functions.lmscore import lm_fluency_report
+
+    corpus = load_corpus(spark, sf_dir)
+    ref = corpus.filter(F.col("lang") == "en")
+    return lm_fluency_report(
+        corpus, ref, k=_LM_K, threshold_micro=_LM_THRESHOLD_MICRO
+    )
+
+
+def _o_lm_fluency() -> str | None:
+    """Reference counts depend on the corpus — generator reads the
+    gate's own input (the _o_ann_ivf_topk discipline)."""
+    import os
+
+    import duckdb as _duck
+
+    from otel_logger_spark.functions.lmscore import nll_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    counts = con.execute(
+        corpus_cte()
+        + f"""
+ , toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM corpus WHERE lang = 'en')
+ SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+ ORDER BY c DESC, tok ASC LIMIT {_LM_K}"""
+    ).fetchall()
+    con.close()
+    tab, oov = nll_table([(t, c) for t, c in counts])
+    vals = ", ".join(f"('{t.replace(chr(39), chr(39) * 2)}', {v})" for t, v in tab.items())
+    return (
+        corpus_cte()
+        + f"""
+ , dw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus),
+ toks AS (SELECT doc_id, lang, unnest(w) AS tok FROM dw),
+ nll(tok, v) AS (SELECT * FROM (VALUES {vals})),
+ pd AS (SELECT doc_id, lang,
+               SUM(COALESCE(n.v, {oov})) AS total, COUNT(*) AS n_tok
+        FROM toks LEFT JOIN nll n USING (tok) GROUP BY 1, 2),
+ sc AS (SELECT lang, total // n_tok AS mean_nll FROM pd)
+ SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN mean_nll <= {_LM_THRESHOLD_MICRO} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fluent,
+        CAST(SUM(mean_nll) AS BIGINT) AS sum_mean_nll
+ FROM sc GROUP BY 1"""
+    )
+
+
 _VOCAB_K = 16
 
 
@@ -1251,6 +1321,7 @@ QUERIES_C = {
     "dsir_select": q_dsir_select,
     "vocab_oov": q_vocab_oov,
     "source_overlap": q_source_overlap,
+    "lm_fluency": q_lm_fluency,
 }
 
 ORACLES_C = {
@@ -1305,6 +1376,7 @@ def resolve_lazy_oracles(oracles: dict) -> dict:
         ("ann_ivf_quantized", _o_ann_ivf_quantized),
         ("semantic_dedup", _o_semantic_dedup),
         ("dsir_select", _o_dsir_select),
+        ("lm_fluency", _o_lm_fluency),
     ):
         try:
             sql = gen()

@@ -1,0 +1,78 @@
+"""Unigram-LM fluency scoring (functions/lmscore.py): nll table math,
+hand-computed scores incl. OOV and integer division, report accounting,
+and oracle parity at a second SF."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from otel_logger_spark.functions.lmscore import (
+    lm_fluency_report,
+    nll_table,
+    reference_counts,
+    with_lm_score,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_nll_table_formula():
+    tab, oov = nll_table([("a", 3), ("b", 1)], scale=1000)
+    denom = 4 + 2 + 1
+    assert tab["a"] == round(1000 * -math.log(4 / denom))
+    assert tab["b"] == round(1000 * -math.log(2 / denom))
+    assert oov == round(1000 * -math.log(1 / denom))
+    assert oov > tab["b"] > tab["a"]  # rarer = higher NLL
+    with pytest.raises(ValueError, match="empty"):
+        nll_table([])
+
+
+def test_score_hand_case(spark):
+    tab, oov = nll_table([("a", 3), ("b", 1)], scale=1000)
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "zz"), (3, "a zz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["mean_nll_micro"]
+           for r in with_lm_score(df, tab, oov).collect()}
+    assert got[1] == (2 * tab["a"] + tab["b"]) // 3
+    assert got[2] == oov
+    assert got[3] == (tab["a"] + oov) // 2
+
+
+def test_reference_counts_bounded_and_ordered(spark):
+    from otel_logger_spark.graftdata import load_corpus
+
+    ref = load_corpus(spark, SF).filter(F.col("lang") == "en")
+    counts = reference_counts(ref, k=8)
+    assert len(counts) == 8
+    assert counts == sorted(counts, key=lambda tc: (-tc[1], tc[0]))
+
+
+def test_report_accounting(spark):
+    from otel_logger_spark.graftdata import load_corpus
+
+    corpus = load_corpus(spark, SF)
+    ref = corpus.filter(F.col("lang") == "en")
+    rows = lm_fluency_report(corpus, ref, k=8,
+                             threshold_micro=10**9).collect()
+    # threshold above any possible mean NLL -> everything fluent
+    assert all(r["n_fluent"] == r["n_docs"] for r in rows)
+    assert {r["lang"] for r in rows} >= {"en", "zh"}
+
+
+def test_oracle_parity_second_sf(spark, monkeypatch):
+    from otel_logger_spark import queries_training as QT
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF)
+    sql = QT._o_lm_fluency()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    exp = {tuple(r) for r in con.sql(sql).fetchall()}
+    got = {
+        (r["lang"], r["n_docs"], r["n_fluent"], r["sum_mean_nll"])
+        for r in QT.q_lm_fluency(spark, SF).collect()
+    }
+    assert got == exp and len(got) == 5

@@ -179,6 +179,13 @@ COMMENT = {
         "aggregate collapses map-side (explode keeps a doc's tokens in "
         "its source partition) so the exchange moves ~one count row per "
         "doc, not one per token."),
+    "lm_fluency": (
+        "scoring is a zero-shuffle projection: element_at against ONE "
+        "K-entry literal map + coalesce to the OOV constant, integer DIV "
+        "in-plan; the reference leg is a bounded TakeOrderedAndProject "
+        "top-K + a K-row driver collect (quantiles/ivf bounded-state "
+        "pattern). The report is one tiny aggregate; corpus text never "
+        "crosses an exchange."),
     "semantic_dedup": (
         "SemDeDup: the only corpus-sized movement is ONE shuffle on "
         "cluster_id for the within-cluster self-join — candidate volume "
@@ -350,6 +357,9 @@ def main():
     dfs["leakage_split"] = q_leakage_split(spark, sf_dir)
     dfs["dsir_select"] = q_dsir_select(spark, sf_dir)
     dfs["vocab_oov"] = q_vocab_oov(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_lm_fluency
+
+    dfs["lm_fluency"] = q_lm_fluency(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

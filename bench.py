@@ -181,6 +181,7 @@ def main():
             run("dsir_select", lambda: QT.q_dsir_select(spark, sf_dir).collect())
             run("source_overlap", lambda: QT.q_source_overlap(spark, sf_dir).collect())
             run("lm_fluency", lambda: QT.q_lm_fluency(spark, sf_dir).collect())
+            run("vocab_oov", lambda: QT.q_vocab_oov(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -46,6 +46,7 @@ GATE_DEFERRED: list[str] = [
     "multimodal_decode",  # codec fake unchanged since r5; plumbing tests stay
     "tfidf_terms",  # unchanged since r6; df/tf machinery covered by tests
     "snapshot_diff",  # unchanged since r6; digest chain covered by tests
+    "top_k_noisy",  # rollups untouched in r7; window_turn_rollup stays
     "training_mix",
     "weighted_sample",
     "lang_id",

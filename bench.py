@@ -182,6 +182,7 @@ def main():
             run("source_overlap", lambda: QT.q_source_overlap(spark, sf_dir).collect())
             run("lm_fluency", lambda: QT.q_lm_fluency(spark, sf_dir).collect())
             run("vocab_oov", lambda: QT.q_vocab_oov(spark, sf_dir).collect())
+            run("contamination_profile", lambda: QT.q_contamination_profile(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -131,3 +131,96 @@ def decontam_summary_sql(
      AS n_kept
  FROM {docs_cte} t LEFT JOIN hits h ON h.doc_id = t.doc_id
  GROUP BY 1"""
+
+
+def contamination_profile(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    use_hash: bool = False,
+) -> DataFrame:
+    """(group, decile, n_docs): the distribution of per-document
+    contamination SHARE — what fraction of a doc's n-gram occurrences
+    appear in the benchmark — bucketed into deciles (0..10, 10 = fully
+    contaminated). The binary keep/drop above hides severity: a corpus
+    where hits are 2% quotation overlap and one where they are verbatim
+    eval copies decontaminate identically but are different problems
+    (the Dolma/RedPajama-style audit).
+
+    Same 100 TB shape as the summary: benchmark grams BROADCAST; the
+    corpus side is explode_outer (NULL row keeps sub-n-word docs in the
+    profile at decile 0) -> broadcast left probe -> per-doc aggregate
+    that collapses map-side (explode preserves partition locality), so
+    the one exchange moves a count row per doc; the decile histogram is
+    a tiny final aggregate. Raw text crosses zero exchanges."""
+    bench_g = (
+        _grams(bench, [], text_col, n, use_hash)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    g = docs.select(
+        id_col,
+        group_col,
+        F.explode_outer(
+            F.expr(ngram_join_expr(f"split({text_col}, ' ')", n))
+        ).alias("_g"),
+    )
+    if use_hash:
+        # null-preserving: xxhash64(NULL) would yield the seed constant,
+        # a phantom joinable value
+        g = g.withColumn(
+            "_g", F.when(F.col("_g").isNotNull(), F.xxhash64("_g"))
+        )
+    per_doc = (
+        g.join(F.broadcast(bench_g), "_g", "left")
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count_if(F.col("_g").isNotNull()).alias("n_grams"),
+            F.count_if(F.col("_hit").isNotNull()).alias("n_hit"),
+        )
+    )
+    decile = F.when(F.col("n_grams") == 0, F.lit(0).cast("int")).otherwise(
+        F.expr("CAST(((1000 * n_hit) DIV n_grams) DIV 100 AS INT)")
+    )
+    return (
+        per_doc.withColumn("decile", decile)
+        .groupBy(group_col, "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def contamination_profile_sql(
+    docs_cte: str = "train",
+    bench_cte: str = "bench",
+    n: int = DEFAULT_N,
+    group_col: str = "source",
+) -> str:
+    """DuckDB re-derivation of contamination_profile over CTEs
+    ``docs_cte(doc_id, {group_col}, text)`` and ``bench_cte(text)``."""
+    words = "string_split(text, ' ')"
+    grams = (
+        f"list_transform(range(1, len({words}) - {n - 2}), "
+        f"i -> array_to_string({words}[i:i+{n - 1}], ' '))"
+    )
+    return f""",
+ bg AS (SELECT DISTINCT unnest({grams}) AS g FROM {bench_cte}
+        WHERE len({words}) >= {n}),
+ tgm AS (SELECT doc_id, {group_col}, unnest({grams}) AS g FROM {docs_cte}
+         WHERE len({words}) >= {n}),
+ pd AS (SELECT doc_id, {group_col}, COUNT(*) AS n_grams,
+          SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM tgm LEFT JOIN bg b USING (g) GROUP BY 1, 2),
+ allpd AS (SELECT * FROM pd
+           UNION ALL
+           SELECT doc_id, {group_col}, 0, 0 FROM {docs_cte}
+           WHERE len({words}) < {n}),
+ dec AS (SELECT {group_col},
+           CASE WHEN n_grams = 0 THEN 0
+                ELSE CAST(((1000 * n_hit) // n_grams) // 100 AS INT)
+           END AS decile
+         FROM allpd)
+ SELECT {group_col}, decile, COUNT(*) AS n_docs
+ FROM dec GROUP BY 1, 2"""

@@ -1149,6 +1149,32 @@ def _o_decontam_split() -> str:
     )
 
 
+def q_contamination_profile(spark, sf_dir):
+    """Contamination-severity histogram (functions/decontam.py:
+    contamination_profile): per-source decile distribution of each
+    training doc's contaminated-13-gram SHARE against the doc_id%7==0
+    benchmark — the severity audit the binary decontam_split summary
+    hides. Broadcast probe + map-side per-doc collapse; the oracle
+    replays grams, probe, integer decile and histogram in SQL."""
+    from otel_logger_spark.functions.decontam import contamination_profile
+
+    docs = _load_documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return contamination_profile(train, bench, n=13, group_col="source")
+
+
+def _o_contamination_profile() -> str:
+    from otel_logger_spark.functions.decontam import contamination_profile_sql
+
+    return (
+        "WITH train AS (SELECT doc_id, source, text FROM documents "
+        "WHERE doc_id % 7 <> 0), "
+        "bench AS (SELECT text FROM documents WHERE doc_id % 7 = 0)"
+        + contamination_profile_sql("train", "bench", n=13, group_col="source")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a new batch against the already-ingested
     history (functions/bloom.py): the corpus originals (doc_id < 100000)
@@ -1322,6 +1348,7 @@ QUERIES_C = {
     "vocab_oov": q_vocab_oov,
     "source_overlap": q_source_overlap,
     "lm_fluency": q_lm_fluency,
+    "contamination_profile": q_contamination_profile,
 }
 
 ORACLES_C = {
@@ -1359,6 +1386,7 @@ ORACLES_C = {
     "leakage_split": _o_leakage_split(),
     "vocab_oov": O_VOCAB_OOV,
     "source_overlap": O_SOURCE_OVERLAP,
+    "contamination_profile": _o_contamination_profile(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:

@@ -179,6 +179,14 @@ COMMENT = {
         "aggregate collapses map-side (explode keeps a doc's tokens in "
         "its source partition) so the exchange moves ~one count row per "
         "doc, not one per token."),
+    "contamination_profile": (
+        "decontam's broadcast shape extended to severity: benchmark "
+        "grams BROADCAST; corpus grams explode_outer (sub-n-word docs "
+        "stay in the profile at decile 0) into the broadcast left probe; "
+        "the per-doc aggregate collapses map-side (explode preserves "
+        "partition locality) so the one exchange moves a count row per "
+        "doc; the decile histogram is a tiny final aggregate. Raw text "
+        "crosses zero exchanges."),
     "lm_fluency": (
         "scoring is a zero-shuffle projection: element_at against ONE "
         "K-entry literal map + coalesce to the OOV constant, integer DIV "
@@ -360,6 +368,9 @@ def main():
     from otel_logger_spark.queries_training import q_lm_fluency
 
     dfs["lm_fluency"] = q_lm_fluency(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_contamination_profile
+
+    dfs["contamination_profile"] = q_contamination_profile(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

@@ -35,23 +35,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # untouched in round 7. Rotate the list each round so no query goes more
 # than one round without driver verification.
 GATE_DEFERRED: list[str] = [
-    "pricing_summary",
-    "top_revenue_orders",
-    "region_rollup",
-    "distinct_users",
-    "dedup_clusters",  # dedup_clusters_two_phase (same oracle) stays verified
-    "ngram_jaccard",  # its pairs feed dedup_clusters_two_phase, which stays
-    "simhash_pairs",  # minhash_pairs keeps the near-dup family verified
-    "embedding_near_dup",  # ann_lsh/ivf/semantic keep the embedding family
-    "multimodal_decode",  # codec fake unchanged since r5; plumbing tests stay
-    "tfidf_terms",  # unchanged since r6; df/tf machinery covered by tests
-    "snapshot_diff",  # unchanged since r6; digest chain covered by tests
-    "top_k_noisy",  # rollups untouched in r7; window_turn_rollup stays
-    "training_mix",
-    "weighted_sample",
-    "lang_id",
-    "text_quality",
-    "median_gap",
+    # Round-8 rotation: ALL 17 round-7 deferrals are back inside the window
+    # (VERDICT r7 #3); the names below were driver-green in
+    # CORRECTNESS_r07.json and their engine + oracle code is untouched in
+    # round 8.
+    "dedup_exact_stats",
+    "dedup_drop_exact",
+    "minhash_pairs",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "doc_fingerprint",
+    "pii_redaction",
+    "pack_shards",
+    "doc_repetition",
+    "span_dedup",
+    "normalized_dedup",
+    "fixed_k_sample",
+    "log_templates",
+    "pivot_role_severity",
+    "asof_latest_signup",
+    "asof_next_purchase",
+    "range_click_incidents",
+    "sessionization",
+    "zorder_buckets",
 ]
 
 

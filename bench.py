@@ -44,7 +44,10 @@ def _sf_from_dir(sf_dir: str) -> str | None:
 
 
 def _regressions_vs_previous(
-    timings: dict, threshold: float = 0.10, min_delta_sec: float = 0.3
+    timings: dict,
+    threshold: float = 0.10,
+    min_delta_sec: float = 0.3,
+    here: str | None = None,
 ) -> dict:
     """Compare this run's per-query MEDIAN seconds to the newest
     BENCH_r{N}.json driver artifact; return {"vs": file, "flagged":
@@ -58,7 +61,7 @@ def _regressions_vs_previous(
     skips the diff, saying so."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
     arts = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"_r(\d+)\.json$", p)
@@ -66,16 +69,30 @@ def _regressions_vs_previous(
             arts.append((int(m.group(1)), p))
     if not arts:
         return {"vs": None, "flagged": {}}
-    _, newest = max(arts)
+    rnum, newest = max(arts)
     try:
         with open(newest) as f:
             prev = json.load(f).get("parsed") or {}
     except (OSError, ValueError):
-        return {"vs": os.path.basename(newest), "error": "unreadable", "flagged": {}}
+        prev = {}
+    vs = os.path.basename(newest)
+    if not prev.get("queries"):
+        # Driver artifacts are stdout-captures and can truncate ("parsed":
+        # null — true for BOTH r6 and r7); bench.py also writes its own
+        # truncation-proof copy per round (BENCH/r{N}.json, main() below).
+        # Fall back to that for the same round so the guard actually
+        # compares medians instead of silently skipping (VERDICT r7 #2).
+        own = os.path.join(here, "BENCH", f"r{rnum:02d}.json")
+        try:
+            with open(own) as f:
+                prev = json.load(f)
+            vs = os.path.join("BENCH", os.path.basename(own))
+        except (OSError, ValueError):
+            return {"vs": vs, "error": "unreadable (driver truncated, no local copy)", "flagged": {}}
     sf_now = _sf_from_dir(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     if sf_now is None or str(prev.get("sf")) != str(sf_now):
         return {
-            "vs": os.path.basename(newest),
+            "vs": vs,
             "skipped": f"sf mismatch (prev {prev.get('sf')}, now {sf_now})",
             "flagged": {},
         }
@@ -88,7 +105,7 @@ def _regressions_vs_previous(
                 "now": now,
                 "pct": round(100 * (now / was - 1), 1),
             }
-    return {"vs": os.path.basename(newest), "flagged": flagged}
+    return {"vs": vs, "flagged": flagged}
 
 
 def main():

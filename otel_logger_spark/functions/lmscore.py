@@ -21,10 +21,20 @@ independently-derived counts into; everything downstream is integer.
 
 Scale shape (100 TB): the reference leg is two bounded aggregates (the
 vocab top-K via TakeOrderedAndProject, then K counts collected — the
-quantiles.py/ivf.py bounded-driver-state pattern). Scoring is a pure
-zero-shuffle projection: element_at against ONE literal map of K
-entries with a coalesce to the OOV constant; the report is one tiny
-aggregate. Corpus text never crosses an exchange.
+quantiles.py/ivf.py bounded-driver-state pattern). Scoring has two
+regimes, switched on K (round-8, VERDICT r7 #4 — the literal map is
+O(K) *plan* nodes, the same Catalyst-compile blowup the quantize
+D-unroll hit):
+
+- K <= max_literal_k (default 4096): element_at against ONE literal map
+  with a coalesce to the OOV constant — a pure codegen projection, zero
+  shuffle, corpus text never crosses an exchange.
+- K > max_literal_k (a real CCNet vocab is 50k-100k): the vocab_oov
+  broadcast-probe shape — explode tokens, broadcast-hash-join the
+  K-row NLL table, collapse per doc map-side. Tokens stay in their
+  source partition; the only exchange moves one (id, two longs) row
+  per document. Integer sums are order-independent, so both regimes
+  produce bit-identical scores (pinned in tests/test_lmscore.py).
 """
 
 from __future__ import annotations
@@ -37,6 +47,12 @@ from pyspark.sql import functions as F
 from otel_logger_spark.functions.vocab import vocab_topk
 
 DEFAULT_SCALE = 1_000_000  # micro-nats
+
+# Above this vocab size the literal-map projection is replaced by the
+# broadcast-probe join: 4096 map entries (~8k literal nodes) is well
+# inside Catalyst's comfort zone; 50k entries measurably is not
+# (tests/test_lmscore.py pins K=50,000 on the join path).
+DEFAULT_MAX_LITERAL_K = 4096
 
 
 def reference_counts(
@@ -61,32 +77,91 @@ def nll_table(
     return tab, round(scale * -math.log(1 / denom))
 
 
+def _per_doc_scores(
+    df: DataFrame,
+    tab: dict[str, int],
+    oov_nll: int,
+    text_col: str,
+    id_col: str,
+    carry_cols: tuple[str, ...],
+    out_col: str,
+) -> DataFrame:
+    """(id_col, *carry_cols, out_col) via the broadcast-probe shape
+    (functions/vocab.py:with_oov_stats): explode tokens in place,
+    broadcast-hash-join the K-row NLL table, collapse per doc map-side.
+    One exchange of (id, two longs) per document; token strings never
+    cross it."""
+    spark = df.sparkSession
+    nll_df = spark.createDataFrame(
+        sorted(tab.items()), schema="tok string, _nll long"
+    )
+    ex = df.select(
+        id_col,
+        *carry_cols,
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    marked = ex.join(F.broadcast(nll_df), "tok", "left")
+    return (
+        marked.groupBy(id_col, *carry_cols)
+        .agg(
+            F.sum(
+                F.coalesce(F.col("_nll"), F.lit(int(oov_nll)))
+            ).alias("_nll_total"),
+            F.count(F.lit(1)).alias("_n_tok"),
+        )
+        .withColumn(out_col, F.expr("CAST(_nll_total DIV _n_tok AS BIGINT)"))
+        .drop("_nll_total", "_n_tok")
+    )
+
+
 def with_lm_score(
     df: DataFrame,
     tab: dict[str, int],
     oov_nll: int,
     text_col: str = "text",
     out_col: str = "mean_nll_micro",
+    id_col: str | None = None,
+    max_literal_k: int = DEFAULT_MAX_LITERAL_K,
 ) -> DataFrame:
-    """Mean token NLL in integer micro-nats: one codegen fold against a
-    single K-entry literal map (constant expression size in K), integer
-    division — a pure projection, zero shuffle."""
-    m = F.create_map(
-        *[F.lit(x) for kv in sorted(tab.items()) for x in kv]
+    """Mean token NLL in integer micro-nats, appended as ``out_col``.
+
+    K <= ``max_literal_k``: one codegen fold against a single K-entry
+    literal map — a pure projection, zero shuffle, O(K) plan nodes (the
+    reason for the cap). K above it: per-doc scores via the broadcast
+    probe (``_per_doc_scores``) joined back on ``id_col``, which must be
+    a unique document key (required in this regime — raising beats
+    silently compiling a 100k-literal plan). Both regimes are
+    bit-identical: the fold and the probe sum the same integers."""
+    if len(tab) <= max_literal_k:
+        m = F.create_map(
+            *[F.lit(x) for kv in sorted(tab.items()) for x in kv]
+        )
+        words = F.split(F.col(text_col), " ")
+        total = F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.coalesce(F.element_at(m, w), F.lit(int(oov_nll))),
+        )
+        return (
+            df.withColumn("_nll_total", total)
+            .withColumn("_n_tok", F.size(words).cast("long"))
+            .withColumn(
+                out_col, F.expr("CAST(_nll_total DIV _n_tok AS BIGINT)")
+            )
+            .drop("_nll_total", "_n_tok")
+        )
+    if id_col is None:
+        raise ValueError(
+            f"vocab K={len(tab)} exceeds max_literal_k={max_literal_k}: "
+            "the literal-map plan would be O(K) expression nodes — pass "
+            "id_col (a unique document key) to score via the "
+            "broadcast-probe join, or raise max_literal_k explicitly"
+        )
+    scores = _per_doc_scores(
+        df, tab, oov_nll, text_col, id_col, (), out_col
     )
-    words = F.split(F.col(text_col), " ")
-    total = F.aggregate(
-        words,
-        F.lit(0).cast("long"),
-        lambda acc, w: acc
-        + F.coalesce(F.element_at(m, w), F.lit(int(oov_nll))),
-    )
-    return (
-        df.withColumn("_nll_total", total)
-        .withColumn("_n_tok", F.size(words).cast("long"))
-        .withColumn(out_col, F.expr("CAST(_nll_total DIV _n_tok AS BIGINT)"))
-        .drop("_nll_total", "_n_tok")
-    )
+    return df.join(scores, id_col, "left")
 
 
 def lm_fluency_report(
@@ -96,11 +171,22 @@ def lm_fluency_report(
     threshold_micro: int,
     group_col: str = "lang",
     text_col: str = "text",
+    id_col: str = "doc_id",
+    max_literal_k: int = DEFAULT_MAX_LITERAL_K,
 ) -> DataFrame:
     """(group, n_docs, n_fluent, sum_mean_nll): per-group accounting of
-    the fluency cut at ``threshold_micro`` mean token NLL."""
+    the fluency cut at ``threshold_micro`` mean token NLL. Above
+    ``max_literal_k`` the per-doc scores come straight from the
+    broadcast probe with ``group_col`` carried through — no join-back
+    at all (the only exchange is one tiny row per doc)."""
     tab, oov = nll_table(reference_counts(ref_df, k, text_col))
-    scored = with_lm_score(df, tab, oov, text_col)
+    if len(tab) <= max_literal_k:
+        scored = with_lm_score(df, tab, oov, text_col,
+                               max_literal_k=max_literal_k)
+    else:
+        scored = _per_doc_scores(
+            df, tab, oov, text_col, id_col, (group_col,), "mean_nll_micro"
+        )
     return scored.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(

@@ -76,3 +76,71 @@ def test_oracle_parity_second_sf(spark, monkeypatch):
         for r in QT.q_lm_fluency(spark, SF).collect()
     }
     assert got == exp and len(got) == 5
+
+
+def test_join_path_bit_identical_to_literal_path(spark):
+    """The two scoring regimes must agree exactly: integer sums are
+    order-independent, so forcing the broadcast-probe path
+    (max_literal_k=0) reproduces the literal-map scores bit-for-bit."""
+    tab, oov = nll_table([("a", 3), ("b", 1), ("c", 2)], scale=1000)
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "zz"), (3, "a zz c"), (4, "b")],
+        "doc_id long, text string",
+    )
+    lit = {r["doc_id"]: r["mean_nll_micro"]
+           for r in with_lm_score(df, tab, oov).collect()}
+    joined = {r["doc_id"]: r["mean_nll_micro"]
+              for r in with_lm_score(df, tab, oov, id_col="doc_id",
+                                     max_literal_k=0).collect()}
+    assert lit == joined
+
+
+def test_big_k_requires_id_col(spark):
+    tab, oov = nll_table([("a", 1), ("b", 1)], scale=1000)
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_literal_k"):
+        with_lm_score(df, tab, oov, max_literal_k=1)
+
+
+def test_k50000_structural_plan_and_wall(spark):
+    """Round 8 (VERDICT r7 #4): a real CCNet vocab is 50k-100k tokens.
+    The literal map is O(K) plan nodes — at K=50,000 scoring must take
+    the broadcast-probe join instead. Pins (a) the plan contains a
+    broadcast join and NO token literals, (b) correct scores on a doc
+    mixing in-vocab and OOV tokens, (c) a wall bound the 100k-literal
+    plan could not meet."""
+    import time
+
+    K = 50_000
+    counts = [(f"tok{i:05d}", (i % 9) + 1) for i in range(K)]
+    tab, oov = nll_table(counts)
+    df = spark.createDataFrame(
+        [(1, "tok00000 tok49999 UNSEEN"), (2, "UNSEEN")],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    scored = with_lm_score(df, tab, oov, id_col="doc_id")
+    plan = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert "tok25000" not in plan  # no K-literal map in the plan
+    got = {r["doc_id"]: r["mean_nll_micro"] for r in scored.collect()}
+    wall = time.monotonic() - t0
+    assert got[1] == (tab["tok00000"] + tab["tok49999"] + oov) // 3
+    assert got[2] == oov
+    physical = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical
+    assert wall < 60, f"K=50k scoring took {wall:.1f}s"
+
+
+def test_report_join_path_matches_literal_path(spark):
+    """lm_fluency_report must aggregate identically in both regimes on
+    the same corpus (the probe path carries group_col, no join-back)."""
+    from otel_logger_spark.graftdata import load_corpus
+
+    corpus = load_corpus(spark, SF)
+    ref = corpus.filter(F.col("lang") == "en")
+    a = {tuple(r) for r in lm_fluency_report(
+        corpus, ref, k=8, threshold_micro=5_600_000).collect()}
+    b = {tuple(r) for r in lm_fluency_report(
+        corpus, ref, k=8, threshold_micro=5_600_000,
+        max_literal_k=0).collect()}
+    assert a == b

@@ -89,3 +89,46 @@ def test_oracle_parity_second_sf(spark):
     exp = {tuple(r) for r in con.sql(sql).fetchall()}
     got = {tuple(r) for r in q_semantic_dedup(spark, SF).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_max_cluster_degenerate_corpus_completes_with_accounting(spark):
+    """Round 8 (VERDICT r7 #5): a degenerate corpus — every embedding
+    identical — collapses into ONE cluster, reverting the self-join to
+    ~N^2 in one task. With max_cluster set the over-cap cluster is
+    excluded from comparison (all rows KEPT, never silently dropped) and
+    semdedup_cap_report accounts for the exclusion."""
+    from otel_logger_spark.functions.semdedup import semdedup_cap_report
+
+    n = 64
+    df = _emb(spark, [[1.0, 0.0, 0.0, 0.0]] * n)
+    kept = semantic_dedup(
+        df, n_clusters=4, threshold_micro=900_000, max_cluster=8
+    )
+    assert kept.count() == n  # the runaway cluster is skipped, not dropped
+    rep = semdedup_cap_report(df, n_clusters=4, max_cluster=8).collect()[0]
+    assert rep["excluded_rows"] == n
+    assert rep["capped_buckets"] == 1
+    assert rep["max_bucket_size"] == n
+
+
+def test_max_cluster_noop_on_normal_corpus(spark):
+    """capped == uncapped when no cluster exceeds the cap: the guard must
+    not change results on healthy corpora."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = {r["vec_id"] for r in semantic_dedup(
+        emb, n_clusters=16, threshold_micro=930_000).collect()}
+    capped = {r["vec_id"] for r in semantic_dedup(
+        emb, n_clusters=16, threshold_micro=930_000,
+        max_cluster=10**9).collect()}
+    assert base == capped
+    from otel_logger_spark.functions.semdedup import semdedup_cap_report
+
+    rep = semdedup_cap_report(
+        emb, n_clusters=16, max_cluster=10**9).collect()[0]
+    assert rep["excluded_rows"] == 0 and rep["capped_buckets"] == 0
+
+
+def test_max_cluster_guard(spark):
+    df = _emb(spark, [[1.0, 0.0]])
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dup_ids(df, max_cluster=0).collect()

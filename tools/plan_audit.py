@@ -188,19 +188,28 @@ COMMENT = {
         "doc; the decile histogram is a tiny final aggregate. Raw text "
         "crosses zero exchanges."),
     "lm_fluency": (
-        "scoring is a zero-shuffle projection: element_at against ONE "
+        "two regimes switched on K (round 8): at the gate's K<=4096 "
+        "scoring is a zero-shuffle projection — element_at against ONE "
         "K-entry literal map + coalesce to the OOV constant, integer DIV "
-        "in-plan; the reference leg is a bounded TakeOrderedAndProject "
-        "top-K + a K-row driver collect (quantiles/ivf bounded-state "
-        "pattern). The report is one tiny aggregate; corpus text never "
-        "crosses an exchange."),
+        "in-plan; above max_literal_k (real CCNet vocab 50k-100k, where "
+        "the literal map is O(K) plan nodes) it switches to the vocab_oov "
+        "broadcast-probe shape — explode, BroadcastHashJoin the K-row NLL "
+        "table, map-side per-doc collapse, one tiny row per doc over the "
+        "exchange; bit-identical scores (tests/test_lmscore.py K=50,000 "
+        "pin). The reference leg is a bounded TakeOrderedAndProject top-K "
+        "+ a K-row driver collect (quantiles/ivf bounded-state pattern). "
+        "The report is one tiny aggregate; corpus text never crosses an "
+        "exchange in either regime."),
     "semantic_dedup": (
         "SemDeDup: the only corpus-sized movement is ONE shuffle on "
         "cluster_id for the within-cluster self-join — candidate volume "
         "sum |cluster|^2, not N^2; norms/assignments are per-row "
         "projections and the dropped-id set broadcasts into the "
-        "accounting join. A runaway cluster is a skew key: diagnose "
-        "with cms.skew_advisor, raise n_clusters, or salt."),
+        "accounting join. Runaway-cluster protection is CODE (round 8): "
+        "max_cluster excludes over-cap clusters from comparison via the "
+        "MinHash hot-bucket window pattern (no extra shuffle, rows kept "
+        "never dropped), with semdedup_cap_report as the no-silent-caps "
+        "accounting row; default None = exhaustive (the gate shape)."),
     "ann_ivf_quantized": (
         "the COMPOSED 100 TB ANN path: IVF probe joins the quantized "
         "corpus on cluster_id (broadcast equi-join — the corpus never "

@@ -1073,17 +1073,73 @@ def _o_pii_redaction() -> str:
 
 
 def q_multimodal_decode(spark, sf_dir):
+    """Corpus leg (opaque text payloads -> deterministic fake decode) +
+    BMP fixture leg (real stdlib codec: decode_media sniffs the header
+    and runs functions/multimodal.decode_bmp). The oracle re-derives the
+    fixture's width/height IN SQL from the header bytes of the exact
+    same payloads (hex-literal VALUES + little-endian byte arithmetic) —
+    a genuine cross-engine check of the codec path."""
+    from otel_logger_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        bmp_fixture_rows,
+    )
+
     media = as_media(_load_documents(spark, sf_dir))
-    return decode_media(media).select("doc_id", "kind", "n_bytes", "width", "height")
+    fix = spark.createDataFrame(
+        [
+            (fid, "image", data, {"codec": "bmp"})
+            for fid, data in bmp_fixture_rows()
+        ],
+        MEDIA_SCHEMA,
+    )
+    return decode_media(media.unionByName(fix)).select(
+        "doc_id", "kind", "n_bytes", "width", "height", "decoder"
+    )
 
 
-O_MULTIMODAL_DECODE = """
+O_MULTIMODAL_DECODE_CORPUS = """
 SELECT doc_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
   CAST(strlen(text) AS BIGINT) AS n_bytes,
   CAST(64 + strlen(text) % 577 AS INT) AS width,
-  CAST(64 + (strlen(text) * 31) % 433 AS INT) AS height
+  CAST(64 + (strlen(text) * 31) % 433 AS INT) AS height,
+  'fake' AS decoder
 FROM documents
+"""
+
+
+def _o_multimodal_decode() -> str:
+    """Corpus fake-decode leg UNION the BMP fixture parsed from raw
+    header bytes in DuckDB: byte i of hex(data) is ('0x'||substr)::INT,
+    width/height are the little-endian int32s at BITMAPINFOHEADER
+    offsets 19/23 (1-based). The SQL never sees the generator's
+    width/height arguments — only the bytes."""
+    from otel_logger_spark.functions.multimodal import bmp_fixture_rows
+
+    def byte(off: int) -> str:
+        return f"(('0x' || substring(h, {2 * off - 1}, 2))::BIGINT)"
+
+    def le32(off: int) -> str:
+        return (
+            f"({byte(off)} + 256 * {byte(off + 1)} + 65536 * {byte(off + 2)}"
+            f" + 16777216 * {byte(off + 3)})"
+        )
+
+    vals = ",\n    ".join(
+        f"({fid}, from_hex('{data.hex().upper()}'))"
+        for fid, data in bmp_fixture_rows()
+    )
+    return f"""{O_MULTIMODAL_DECODE_CORPUS}
+UNION ALL
+SELECT doc_id, 'image' AS kind,
+  CAST(octet_length(data) AS BIGINT) AS n_bytes,
+  CAST({le32(19)} AS INT) AS width,
+  CAST({le32(23)} AS INT) AS height,
+  'bmp' AS decoder
+FROM (
+  SELECT doc_id, data, hex(data) AS h FROM (VALUES
+    {vals}) AS v(doc_id, data)
+)
 """
 
 
@@ -1367,7 +1423,7 @@ ORACLES_C = {
     "lang_id": O_LANG_ID,
     "text_quality": O_TEXT_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,
-    "multimodal_decode": O_MULTIMODAL_DECODE,
+    "multimodal_decode": _o_multimodal_decode(),
     "pii_redaction": _o_pii_redaction(),
     "pack_shards": O_PACK_SHARDS,
     "doc_repetition": _o_doc_repetition(),

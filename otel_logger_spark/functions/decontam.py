@@ -155,7 +155,31 @@ def contamination_profile(
     profile at decile 0) -> broadcast left probe -> per-doc aggregate
     that collapses map-side (explode preserves partition locality), so
     the one exchange moves a count row per doc; the decile histogram is
-    a tiny final aggregate. Raw text crosses zero exchanges."""
+    a tiny final aggregate. Raw text crosses zero exchanges.
+
+    The two stages are exposed separately (``contamination_per_doc`` +
+    ``profile_from_per_doc``) because the per-doc rows are the natural
+    STREAMING partial: a document lives wholly inside one micro-batch,
+    so per-batch per-doc counts union losslessly and the histogram
+    finalizes over them (streaming/analytics.py, round 8)."""
+    return profile_from_per_doc(
+        contamination_per_doc(docs, bench, n, id_col, text_col, group_col,
+                              use_hash),
+        group_col=group_col,
+    )
+
+
+def contamination_per_doc(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    use_hash: bool = False,
+) -> DataFrame:
+    """(id_col, group_col, n_grams, n_hit) per document — the profile's
+    first stage and the streaming partial row (see contamination_profile)."""
     bench_g = (
         _grams(bench, [], text_col, n, use_hash)
         .distinct()
@@ -174,7 +198,7 @@ def contamination_profile(
         g = g.withColumn(
             "_g", F.when(F.col("_g").isNotNull(), F.xxhash64("_g"))
         )
-    per_doc = (
+    return (
         g.join(F.broadcast(bench_g), "_g", "left")
         .groupBy(id_col, group_col)
         .agg(
@@ -182,6 +206,15 @@ def contamination_profile(
             F.count_if(F.col("_hit").isNotNull()).alias("n_hit"),
         )
     )
+
+
+def profile_from_per_doc(
+    per_doc: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """(group, decile, n_docs) from per-doc contamination counts — the
+    profile's tiny final aggregate, shared by batch and the streaming
+    finalizer."""
     decile = F.when(F.col("n_grams") == 0, F.lit(0).cast("int")).otherwise(
         F.expr("CAST(((1000 * n_hit) DIV n_grams) DIV 100 AS INT)")
     )

@@ -184,3 +184,97 @@ def read_rate_spikes(
         max_span_buckets=max_span_buckets,
         span_overflow=span_overflow,
     )
+
+
+# --- contamination profile over a documents stream (round 8) -----------------
+#
+# The per-doc contamination counts (functions/decontam.contamination_per_doc)
+# are the natural partial: a document lives wholly inside one micro-batch, so
+# per-batch per-doc rows union losslessly (no cross-batch summing needed at
+# all — idempotence comes from the batchid=<id> overwrite), and the decile
+# histogram finalizes over the union with the SAME tiny aggregate the batch
+# operator uses (profile_from_per_doc). Benchmark n-grams are a bounded
+# static side, re-broadcast per micro-batch exactly as the batch plan
+# broadcasts them per query.
+
+CONTAM_SINK = "contam_partials"
+
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, source string, lang string, text string"
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def write_contam_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    use_hash: bool = False,
+) -> None:
+    """One micro-batch's per-doc contamination partial, batchId-idempotent."""
+    from otel_logger_spark.functions.decontam import contamination_per_doc
+
+    contamination_per_doc(
+        batch_df, bench, n, id_col, text_col, group_col, use_hash
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, CONTAM_SINK, f"batchid={batch_id}")
+    )
+
+
+def run_streaming_contamination(
+    spark: SparkSession,
+    input_dir: str,
+    bench: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+    n: int = 13,
+    group_col: str = "source",
+    use_hash: bool = False,
+):
+    """Contamination partials over a live documents stream; returns the
+    started query (availableNow drains then stops, like the pipeline)."""
+    stream = read_documents_stream(spark, input_dir, max_files_per_trigger)
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        write_contam_batch(
+            batch_df, batch_id, out_dir, bench,
+            n=n, group_col=group_col, use_hash=use_hash,
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_contamination_profile(
+    spark: SparkSession, out_dir: str, group_col: str = "source"
+) -> DataFrame:
+    """Finalize the contamination sink: the batch operator's decile
+    histogram (functions/decontam.profile_from_per_doc) over the union
+    of all micro-batch per-doc partials — row-for-row equal to batch
+    contamination_profile on the full corpus (pinned by pytest)."""
+    from otel_logger_spark.functions.decontam import profile_from_per_doc
+
+    parts = spark.read.parquet(os.path.join(out_dir, CONTAM_SINK))
+    return profile_from_per_doc(parts, group_col=group_col)

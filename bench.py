@@ -200,6 +200,8 @@ def main():
             run("lm_fluency", lambda: QT.q_lm_fluency(spark, sf_dir).collect())
             run("vocab_oov", lambda: QT.q_vocab_oov(spark, sf_dir).collect())
             run("contamination_profile", lambda: QT.q_contamination_profile(spark, sf_dir).collect())
+            run("freqcap", lambda: QT.q_freqcap(spark, sf_dir).collect())
+            run("diversity", lambda: QT.q_diversity(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -136,6 +136,17 @@ class PipelineConfig:
             or "json"
         )
     )
+    # dictionary-encode role/tool as tinyint codes through the exchange +
+    # coalescer + parse region, decoding after parse (operators/dictenc.py;
+    # lossless via rare-escape columns). Adopt/reject per the measured
+    # 37M-turn A/B in BENCH/AB_dict_enums.md. env OTEL_SPARK_DICT_ENUMS
+    # overrides ("1"/"true" = on).
+    dict_encode_enums: bool = field(
+        default_factory=lambda: (
+            os.environ.get("OTEL_SPARK_DICT_ENUMS", "").strip().lower()
+            in ("1", "true", "yes")
+        )
+    )
 
     @classmethod
     def from_reference_args(cls, argv: list[str]) -> "PipelineConfig":

@@ -1366,7 +1366,90 @@ WITH old_s AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
     )
 
 
+_FREQCAP_K = 15  # 20 sources x 25 docs at the gate SFs -> 10 dropped each
+
+
+def q_freqcap(spark, sf_dir):
+    """Per-source frequency cap (functions/freqcap.py, RefinedWeb-style
+    domain capping): keep at most K docs per source under the total
+    order (n_chars DESC, doc_id ASC); per-group accounting incl. the
+    order-key value at the cap boundary. Rank runs on a narrow
+    (source, n_chars, doc_id) projection — text never enters the
+    exchange; the oracle replays ROW_NUMBER under the same total order."""
+    from otel_logger_spark.functions.freqcap import freqcap_report
+
+    return freqcap_report(_load_documents(spark, sf_dir), _FREQCAP_K)
+
+
+O_FREQCAP = f"""
+WITH r AS (
+  SELECT source, n_chars, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN rnk <= {_FREQCAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN rnk > {_FREQCAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(MIN(CASE WHEN rnk <= {_FREQCAP_K} THEN n_chars END) AS BIGINT) AS min_kept_key
+FROM r GROUP BY source
+"""
+
+
+def q_diversity(spark, sf_dir):
+    """Per-source n-gram diversity audit (functions/diversity.py):
+    type-token ratio + distinct-3-gram rate, exact counts over xxhash64
+    gram digests (strings never shuffle). The oracle replays the digest
+    bit-exactly via oracles_xxh64.xxh64_ctes on the union vocabulary of
+    tokens and 3-grams, so COUNT DISTINCT agrees with the engine even in
+    the (never-observed) collision case."""
+    from otel_logger_spark.functions.diversity import diversity_report
+
+    return diversity_report(_load_documents(spark, sf_dir), n=3)
+
+
+def _o_diversity() -> str:
+    from otel_logger_spark.oracles_xxh64 import xxh64_ctes
+
+    w = "string_split(text, ' ')"
+    gram_list = (
+        f"list_transform(range(1, len({w}) - 1), "
+        f"i -> array_to_string({w}[i:i+2], ' '))"
+    )
+    return (
+        f"""
+WITH toks AS (
+  SELECT source, doc_id, unnest({w}) AS tok FROM documents),
+ grams AS (
+  SELECT source, unnest({gram_list}) AS tok FROM documents),
+ vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT tok FROM toks UNION SELECT tok FROM grams)),
+"""
+        + xxh64_ctes()
+        + """,
+ t AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT h.h64) AS distinct_tokens
+  FROM toks JOIN hashes h USING (tok) GROUP BY source),
+ g AS (
+  SELECT source, COUNT(*) AS n_ngrams,
+         COUNT(DISTINCT h.h64) AS distinct_ngrams
+  FROM grams JOIN hashes h USING (tok) GROUP BY source)
+SELECT t.source, n_docs, n_tokens, distinct_tokens,
+  CAST(COALESCE(distinct_ngrams, 0) AS BIGINT) AS distinct_ngrams,
+  CAST((1000 * distinct_tokens) // n_tokens AS BIGINT) AS ttr_milli,
+  CAST(CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN 0
+       ELSE (1000 * distinct_ngrams) // n_ngrams END AS BIGINT)
+    AS ngram_diversity_milli
+FROM t LEFT JOIN g ON t.source = g.source
+"""
+    )
+
+
 QUERIES_C = {
+    "freqcap": q_freqcap,
+    "diversity": q_diversity,
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_drop_exact": q_dedup_drop_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1408,6 +1491,8 @@ QUERIES_C = {
 }
 
 ORACLES_C = {
+    "freqcap": O_FREQCAP,
+    "diversity": _o_diversity(),
     "dedup_exact_stats": O_DEDUP_EXACT_STATS,
     "dedup_drop_exact": O_DEDUP_DROP_EXACT,
     "ngram_jaccard": O_NGRAM_JACCARD,

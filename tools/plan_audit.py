@@ -200,6 +200,21 @@ COMMENT = {
         "+ a K-row driver collect (quantiles/ivf bounded-state pattern). "
         "The report is one tiny aggregate; corpus text never crosses an "
         "exchange in either regime."),
+    "freqcap": (
+        "RefinedWeb-style per-source cap: ROW_NUMBER runs on a NARROW "
+        "(source, n_chars, doc_id) projection — document text never "
+        "enters the rank exchange; the report aggregates that narrow "
+        "frame directly (zero text exchanges), and the drop variant "
+        "re-attaches kept ids via a shuffled left-semi join on doc_id "
+        "(one text exchange, the dedup-drop shape — correct when the "
+        "kept set is billions of ids and a broadcast would not fit)."),
+    "diversity": (
+        "n-gram diversity audit: tokens/grams are hashed to int64 "
+        "(xxhash64) BEFORE the exchange, so the two COUNT DISTINCT "
+        "aggregations shuffle (source, h64) pairs — never gram strings — "
+        "with Spark's built-in two-phase partial distinct; text crosses "
+        "zero exchanges. The oracle replays the digest bit-exactly "
+        "(oracles_xxh64.xxh64_ctes over the union vocabulary)."),
     "semantic_dedup": (
         "SemDeDup: the only corpus-sized movement is ONE shuffle on "
         "cluster_id for the within-cluster self-join — candidate volume "
@@ -380,6 +395,10 @@ def main():
     from otel_logger_spark.queries_training import q_contamination_profile
 
     dfs["contamination_profile"] = q_contamination_profile(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_diversity, q_freqcap
+
+    dfs["freqcap"] = q_freqcap(spark, sf_dir)
+    dfs["diversity"] = q_diversity(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

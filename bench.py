@@ -202,6 +202,8 @@ def main():
             run("contamination_profile", lambda: QT.q_contamination_profile(spark, sf_dir).collect())
             run("freqcap", lambda: QT.q_freqcap(spark, sf_dir).collect())
             run("diversity", lambda: QT.q_diversity(spark, sf_dir).collect())
+            run("temperature_mix", lambda: QT.q_temperature_mix(spark, sf_dir).collect())
+            run("corpus_cartography", lambda: QT.q_corpus_cartography(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -261,6 +261,59 @@ WHERE rank <= {k}
 """
 
 
+def cartography_oracle(
+    parquet_path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    source_table: str = "documents",
+    source_id: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """Oracle for functions/cartography.cluster_source_map: shared
+    centroid derivation, same nearest-centroid assignment cut, same
+    total order for the dominant source (count DESC, source ASC), same
+    floor-divided share Herfindahl (see cartography.py's contract —
+    the per-source floor is deliberate int64 hygiene, replayed here
+    with DuckDB's `//`)."""
+    centroids = train_centroids_from_parquet(
+        parquet_path, k=n_clusters, seed=seed
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {cid} AS cid, ({_sq_dist('embedding', c)}) AS d "
+        "FROM embeddings"
+        for cid, c in enumerate(centroids)
+    )
+    return f"""
+WITH cd AS (
+  {branches}
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd) WHERE rn = 1),
+per_src AS (
+  SELECT a.cluster_id, s.{source_col} AS src, COUNT(*) AS n
+  FROM assign a JOIN {source_table} s ON s.{source_id} = a.vec_id
+  GROUP BY 1, 2),
+tot AS (
+  SELECT *, SUM(n) OVER (PARTITION BY cluster_id) AS n_vecs,
+    ROW_NUMBER() OVER (
+      PARTITION BY cluster_id ORDER BY n DESC, src ASC) AS rk
+  FROM per_src),
+sh AS (
+  SELECT *, (1000000 * n) // n_vecs AS share FROM tot)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+  CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+  COUNT(*) AS n_sources,
+  MAX(CASE WHEN rk = 1 THEN src END) AS top_source,
+  CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top_n,
+  CAST((1000 * MAX(CASE WHEN rk = 1 THEN n END)) // MAX(n_vecs) AS BIGINT)
+    AS top_share_milli,
+  CAST(SUM(share * share) // 1000000 AS BIGINT) AS herfindahl_micro
+FROM sh GROUP BY cluster_id
+"""
+
+
 def semantic_dedup_oracle(
     parquet_path: str,
     n_clusters: int = 16,

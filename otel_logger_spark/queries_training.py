@@ -652,6 +652,35 @@ def _o_semantic_dedup() -> str | None:
     )
 
 
+def q_corpus_cartography(spark, sf_dir):
+    """Per-cluster source-composition audit (functions/cartography.py):
+    IVF clusters partition the embedding space; per cluster report the
+    source mix — dominant source under (count DESC, source ASC), exact
+    milli-share, floor-divided-share Herfindahl concentration. The
+    oracle re-derives centroids, assignment and the integer share
+    arithmetic end-to-end (oracles_ivf.cartography_oracle)."""
+    from otel_logger_spark.functions.cartography import cluster_source_map
+
+    emb = _load_embeddings(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    return cluster_source_map(emb, docs, n_clusters=16)
+
+
+def _o_corpus_cartography() -> str | None:
+    """Same data-dependence as the other IVF-family oracles."""
+    import os
+
+    from otel_logger_spark.oracles_ivf import cartography_oracle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    return cartography_oracle(path, n_clusters=16, seed=42)
+
+
 _SPLIT_RATIOS = [("train", 800), ("val", 100), ("test", 100)]
 
 
@@ -1447,6 +1476,33 @@ FROM t LEFT JOIN g ON t.source = g.source
     )
 
 
+_TEMP_BUDGET = 20_000  # tokens; ~half the sf0.01 corpus so rates land <1000
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (functions/temperature.py,
+    alpha-sampling a la XLM-R/mT5): derive per-source quotas from
+    n_s^alpha weights (alpha=1/2 via exact floor-isqrt), allocate by
+    largest remainder under a total order, keep rows with the shared
+    Knuth-hash threshold. One corpus aggregation; planning windows run
+    on the O(sources) frame only. The oracle re-derives weights,
+    share/quota chains and the keep-set bit-exactly in DuckDB."""
+    from otel_logger_spark.functions.temperature import (
+        temperature_mix_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix_report(docs, _TEMP_BUDGET, alpha="0.5")
+
+
+def _o_temperature_mix() -> str:
+    from otel_logger_spark.functions.temperature import (
+        temperature_mix_report_sql,
+    )
+
+    return temperature_mix_report_sql("documents", _TEMP_BUDGET, alpha="0.5")
+
+
 QUERIES_C = {
     "freqcap": q_freqcap,
     "diversity": q_diversity,
@@ -1488,6 +1544,8 @@ QUERIES_C = {
     "source_overlap": q_source_overlap,
     "lm_fluency": q_lm_fluency,
     "contamination_profile": q_contamination_profile,
+    "temperature_mix": q_temperature_mix,
+    "corpus_cartography": q_corpus_cartography,
 }
 
 ORACLES_C = {
@@ -1528,6 +1586,7 @@ ORACLES_C = {
     "vocab_oov": O_VOCAB_OOV,
     "source_overlap": O_SOURCE_OVERLAP,
     "contamination_profile": _o_contamination_profile(),
+    "temperature_mix": _o_temperature_mix(),
 }
 
 def resolve_lazy_oracles(oracles: dict) -> dict:
@@ -1544,6 +1603,7 @@ def resolve_lazy_oracles(oracles: dict) -> dict:
         ("ann_ivf_topk", _o_ann_ivf_topk),
         ("ann_ivf_quantized", _o_ann_ivf_quantized),
         ("semantic_dedup", _o_semantic_dedup),
+        ("corpus_cartography", _o_corpus_cartography),
         ("dsir_select", _o_dsir_select),
         ("lm_fluency", _o_lm_fluency),
     ):

@@ -51,10 +51,36 @@ def ensure_input(n_convs: int, seed: int = 42) -> str:
     return path
 
 
-def run_once(cores: int, input_path: str, zpath: str, shuffle_partitions: int) -> dict:
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def run_once(
+    cores: int,
+    input_path: str,
+    zpath: str,
+    shuffle_partitions: int,
+    bind: bool = True,
+    split_bytes: int | None = None,
+) -> dict:
     out = tempfile.mkdtemp(prefix=f"scale_{cores}_")
     try:
-        cmd = [
+        cmd = []
+        if bind:
+            # Bind the WHOLE process tree (driver JVM, GC/JIT threads,
+            # Python UDF workers, Arrow writer threads) to exactly
+            # `cores` CPUs — the cgroup shape of a real cluster executor.
+            # Unbound local[N] gives every leg unlimited extra cores for
+            # python workers and JVM service threads, which flatters the
+            # small-N leg disproportionately (its python worker gets a
+            # whole idle core; at 4N they contend) and so UNDERSTATES
+            # scaling efficiency. taskset is inherited by children.
+            cmd += ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"]
+        cmd += [
             "spark-submit",
             "--master", f"local[{cores}]",
             "--driver-memory", "16g",
@@ -66,6 +92,16 @@ def run_once(cores: int, input_path: str, zpath: str, shuffle_partitions: int) -
             "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
             "--conf", "spark.ui.enabled=false",
+        ]
+        if split_bytes:
+            # scan splits sized so the input scan runs in clean waves
+            # (a multiple of the core count) instead of a ragged remainder
+            # wave — at real scale (10^5+ splits) raggedness vanishes, so
+            # a fixed 128MB split on a sub-GB bench input would understate
+            # large-scale behavior. Cores-proportional, like
+            # shuffle.partitions above.
+            cmd += ["--conf", f"spark.sql.files.maxPartitionBytes={split_bytes}"]
+        cmd += [
             "--py-files", zpath,
             os.path.join(REPO, "tools", "run_pipeline_job.py"),
             "--input", input_path,
@@ -104,18 +140,30 @@ def main():
         "single-socket memory-bandwidth ceiling rather than footnote it "
         "(default 8 vs 32); 0 disables",
     )
+    ap.add_argument(
+        "--no-bind", action="store_true",
+        help="disable taskset CPU binding (legacy protocol: local[N] task "
+        "slots only, python workers/JVM service threads float onto idle "
+        "cores — flatters the small-N leg; kept for comparison runs)",
+    )
     args = ap.parse_args()
 
     zpath = build_pyfiles_zip()
     input_path = ensure_input(args.convs)
+    bind = not args.no_bind and shutil.which("taskset") is not None
+    in_bytes = dir_bytes(input_path)
 
     levels = [args.n, 4 * args.n]
     if args.extra_n:
         levels += [c for c in (args.extra_n, 4 * args.extra_n) if c not in levels]
     results = {}
     for cores in levels:
+        split = min(512 << 20, max(16 << 20, in_bytes // (4 * cores) + 1))
         runs = [
-            run_once(cores, input_path, zpath, shuffle_partitions=4 * cores)
+            run_once(
+                cores, input_path, zpath, shuffle_partitions=4 * cores,
+                bind=bind, split_bytes=split,
+            )
             for _ in range(args.repeat)
         ]
         r = min(runs, key=lambda x: x["wall_sec"])  # steady-state (best-of)
@@ -139,6 +187,9 @@ def main():
     summary = {
         "date": datetime.now(timezone.utc).isoformat(),
         "input_turns": results[n]["n_turns"],
+        "cpu_binding": "taskset 0..N-1 per leg (executor-cgroup emulation)"
+        if bind else "none (legacy local[N] task slots only)",
+        "scan_split_bytes": "input_bytes div (4*cores), clamped 16MB-512MB",
         "N": n,
         "throughput_N": results[n]["turns_per_sec"],
         "throughput_4N": results[n4]["turns_per_sec"],
@@ -168,7 +219,14 @@ with lineage) on identical input, via `spark-submit --py-files` at two
 parallelism levels standing in for N and 4N executors.
 
 - input: {results[n]["n_turns"]:,} turns (deterministic synthetic transcripts, seed 42)
-- config: shuffle.partitions = 4x cores, AQE on (coalesce + skewJoin), Arrow batch 10k
+- config: shuffle.partitions = 4x cores, scan splits = input div (4x cores),
+  AQE on (coalesce + skewJoin), Arrow batch 10k
+- CPU budget: {summary["cpu_binding"]} — each leg's whole process tree
+  (JVM task threads, GC/JIT, Python UDF workers, Arrow writer threads) is
+  pinned to exactly N CPUs, the resource shape of a cgroup-bound cluster
+  executor. Unbound local[N] lets the small leg's python worker free-ride
+  on an idle core while the 4N leg's workers contend, understating the
+  N->4N ratio.
 - sink row counts identical across parallelism levels: {sinks_equal}
 
 | cluster | cores | wall (s) | turns/sec | runs (s) | spread |

@@ -34,7 +34,18 @@ while true; do
   c1=$(probe)
   log "probe calib=${c1}s"
   if [ -f "$REPO/BENCH/.scaling_met" ]; then log "met marker present; exit"; exit 0; fi
+  # a .heavy_running older than 2h is a stale lock (round-8 post-mortem:
+  # a launcher touched it and died, and every probe skipped for hours) —
+  # ignore it with a log line instead of starving forever
+  heavy=0
   if [ -f "$REPO/.heavy_running" ]; then
+    if [ -n "$(find "$REPO/.heavy_running" -mmin -120 2>/dev/null)" ]; then
+      heavy=1
+    else
+      log "stale .heavy_running (>2h old) — ignoring"
+    fi
+  fi
+  if [ "$heavy" = 1 ]; then
     log "builder heavy job running; skip"
   elif python3 -c "import sys; sys.exit(0 if float('$c1') <= $QUIET_SEC else 1)"; then
     sleep 20

@@ -66,18 +66,12 @@ def with_oov_stats(
     )
 
 
-def oov_report(
-    df: DataFrame,
-    k: int,
-    group_col: str = "lang",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(group, n_docs, sum_tokens, sum_oov, oov_milli): corpus-level OOV
-    coverage of a k-entry vocab per group. oov_milli is integer
-    1000*sum_oov div sum_tokens — exact in both engines."""
-    vocab = vocab_topk(df, k, text_col)
-    per_doc = with_oov_stats(df, vocab, text_col, id_col, (group_col,))
+def oov_from_per_doc(per_doc: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Finalize per-doc (group, n_tokens, n_oov) stats into the corpus
+    report. Split out from oov_report so the streaming path can sum the
+    SAME aggregate over unioned micro-batch partials (per-doc rows are
+    the partial: a doc lives wholly in one micro-batch, and group sums
+    are associative across batches)."""
     return (
         per_doc.groupBy(group_col)
         .agg(
@@ -90,3 +84,18 @@ def oov_report(
             F.expr("CAST((1000 * sum_oov) DIV sum_tokens AS BIGINT)"),
         )
     )
+
+
+def oov_report(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(group, n_docs, sum_tokens, sum_oov, oov_milli): corpus-level OOV
+    coverage of a k-entry vocab per group. oov_milli is integer
+    1000*sum_oov div sum_tokens — exact in both engines."""
+    vocab = vocab_topk(df, k, text_col)
+    per_doc = with_oov_stats(df, vocab, text_col, id_col, (group_col,))
+    return oov_from_per_doc(per_doc, group_col)

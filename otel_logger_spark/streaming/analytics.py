@@ -267,6 +267,75 @@ def run_streaming_contamination(
     return writer.start()
 
 
+OOV_SINK = "oov_partials"
+
+
+def write_oov_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> None:
+    """One micro-batch's per-doc OOV partial against the PINNED
+    vocabulary, batchId-idempotent (overwrite of batchid=<id> makes
+    redelivery converge to the same bytes)."""
+    from otel_logger_spark.functions.vocab import with_oov_stats
+
+    with_oov_stats(
+        batch_df, vocab, text_col, id_col, (group_col,)
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, OOV_SINK, f"batchid={batch_id}")
+    )
+
+
+def run_streaming_oov(
+    spark: SparkSession,
+    input_dir: str,
+    vocab: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+    group_col: str = "lang",
+):
+    """OOV-coverage partials over a live documents stream against a
+    pinned tokenizer vocabulary (the production monitoring shape: the
+    vocab is a build-time artifact; what streams is the corpus). A doc
+    lives wholly in one micro-batch, so per-doc (group, n_tokens, n_oov)
+    rows are exact partials and the finalizer's group sums are
+    associative across batches. Returns the started query."""
+    stream = read_documents_stream(spark, input_dir, max_files_per_trigger)
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        write_oov_batch(batch_df, batch_id, out_dir, vocab, group_col=group_col)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_oov_report(
+    spark: SparkSession, out_dir: str, group_col: str = "lang"
+) -> DataFrame:
+    """Finalize the OOV sink: the batch finalizer
+    (functions/vocab.oov_from_per_doc) over the union of all micro-batch
+    per-doc partials — row-for-row equal to batch oov_report with the
+    same pinned vocab (pinned by pytest)."""
+    from otel_logger_spark.functions.vocab import oov_from_per_doc
+
+    parts = spark.read.parquet(os.path.join(out_dir, OOV_SINK))
+    return oov_from_per_doc(parts, group_col=group_col)
+
+
 def read_contamination_profile(
     spark: SparkSession, out_dir: str, group_col: str = "source"
 ) -> DataFrame:

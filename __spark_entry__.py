@@ -63,6 +63,10 @@ GATE_DEFERRED: list[str] = [
     # (temperature_mix, corpus_cartography): r7-green, engine
     # (queries_extra.py) and oracle (oracles_hll.py) untouched in r8.
     "approx_distinct",
+    # deferred late-round-8 to make window room for the NEW audio_stats
+    # query (WAV codec): r7-green, engine (operators/funnel.py) and
+    # oracle (queries_extra.py) untouched in r8.
+    "funnel",
 ]
 
 

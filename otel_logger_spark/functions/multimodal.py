@@ -8,7 +8,7 @@ steps are stubbed (import-try + deterministic fake) while everything
 Spark-side — schema, batch iteration, partitioning, UDF signatures — is
 real and tested.
 
-One codec IS real (round 8, VERDICT r7 #6): uncompressed 24-bit BMP
+TWO codecs ARE real (round 8, VERDICT r7 #6): uncompressed 24-bit BMP
 needs no library — ``parse_bmp_header``/``decode_bmp`` below are a
 stdlib-only parser (magic, BITMAPINFOHEADER, bottom-up/top-down pixel
 rows with 4-byte stride padding) plus a genuine 8x8 average-hash over
@@ -18,6 +18,17 @@ back to PIL (absent here) or the deterministic fake. The sniff is
 strict (exact magic, biSize=40, planes=1, bpp=24, compression=0, dim
 bounds, pixel-array bounds) so opaque text/audio payloads can never
 mis-parse — the header requires NUL bytes no UTF-8 text corpus carries.
+
+The audio analog is canonical 16-bit PCM WAV (RIFF/WAVE/fmt/data, the
+44-byte layout every uncompressed recorder writes):
+``parse_wav_header``/``decode_wav`` parse the header and compute true
+sample statistics (peak amplitude, integer mean-square energy) over the
+int16 frames with numpy — int64 accumulation so a full-scale -32768
+sample can't overflow. ``decode_audio`` is the mapInPandas stage: valid
+WAV rows take the real path (decoder='wav'), opaque payloads the
+deterministic fake. Strictness mirrors the BMP sniff: exact magics at
+three offsets, PCM format 1, 16-bit, byte_rate/block_align consistency
+— no text corpus byte string can satisfy all of it by accident.
 """
 
 from __future__ import annotations
@@ -137,6 +148,171 @@ def decode_bmp(data: bytes) -> tuple[int, int, int]:
     if bits >= 1 << 63:
         bits -= 1 << 64
     return w, ah, bits
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes bigint, sample_rate int, "
+    "n_channels int, n_frames bigint, duration_ms bigint, peak_abs int, "
+    "meansq bigint, decoder string"
+)
+
+
+def make_wav(
+    n_frames: int, sample_rate: int = 16000, n_channels: int = 1, seed: int = 0
+) -> bytes:
+    """A real canonical 16-bit PCM WAV (RIFF + 16-byte fmt + data, 44-byte
+    header) with int16 samples deterministic in (seed, frame, channel) —
+    the fixture generator for the codec tests and the gate oracle. The
+    sample formula deliberately reaches the full int16 range including
+    -32768 (the abs-overflow edge)."""
+    if n_frames < 1 or n_channels < 1:
+        raise ValueError(f"bad wav shape {n_frames}x{n_channels}")
+    data_size = n_frames * n_channels * 2
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + data_size, b"WAVE",
+        b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+        b"data", data_size,
+    )
+    body = bytearray()
+    for i in range(n_frames):
+        for ch in range(n_channels):
+            v = (seed * 2654435761 + i * 40503 + ch * 9973) % 65536 - 32768
+            body += struct.pack("<h", v)
+    return hdr + bytes(body)
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, int] | None:
+    """(n_channels, sample_rate, data_size) for a valid canonical 16-bit
+    PCM WAV, else None. Strict on purpose, like parse_bmp_header: three
+    exact magics, fmt size 16, PCM format 1, 16-bit, byte_rate and
+    block_align arithmetic consistency, bounded rate/channels, data chunk
+    within the payload and whole-frame sized — so arbitrary binary/text
+    payloads fall through to the fake path instead of mis-decoding."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    if data[12:16] != b"fmt " or data[36:40] != b"data":
+        return None
+    fmt_size, audio_fmt, n_channels, sample_rate, byte_rate, block_align, bits = (
+        struct.unpack_from("<IHHIIHH", data, 16)
+    )
+    if fmt_size != 16 or audio_fmt != 1 or bits != 16:
+        return None
+    if not (1 <= n_channels <= 8) or not (8000 <= sample_rate <= 192000):
+        return None
+    if block_align != n_channels * 2 or byte_rate != sample_rate * block_align:
+        return None
+    data_size = struct.unpack_from("<I", data, 40)[0]
+    if data_size <= 0 or 44 + data_size > len(data) or data_size % block_align:
+        return None
+    return n_channels, sample_rate, data_size
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int, int, int]:
+    """(sample_rate, n_channels, n_frames, duration_ms, peak_abs, meansq)
+    via the REAL codec path: parse the header, then numpy over the actual
+    int16 sample words. peak_abs is max |sample| (int64 cast first —
+    abs(-32768) overflows int16), meansq is the exact integer mean of
+    squares (sum(v*v) DIV n, int64-safe: 32768^2 * n_samples needs ~2^30
+    headroom per billion samples)."""
+    import numpy as np
+
+    hdr = parse_wav_header(data)
+    if hdr is None:
+        raise ValueError("not a canonical 16-bit PCM WAV payload")
+    n_channels, sample_rate, data_size = hdr
+    n = data_size // 2
+    vals = np.frombuffer(data, dtype="<i2", count=n, offset=44).astype(np.int64)
+    n_frames = n // n_channels
+    duration_ms = (1000 * n_frames) // sample_rate
+    peak_abs = int(np.abs(vals).max())
+    meansq = int((vals * vals).sum() // n)
+    return sample_rate, n_channels, n_frames, duration_ms, peak_abs, meansq
+
+
+def _audio_fake(data: bytes) -> tuple[int, int, int, int, int, int]:
+    """Deterministic fake audio stats for opaque (non-WAV) payloads —
+    every field a simple integer function of the byte length so the gate
+    oracle can replay it from strlen(text)."""
+    n = len(data)
+    return 16000, 1, n, (1000 * n) // 16000, n % 32768, (n * 37) % 1048576
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """mapInPandas audio-decode stage: binary in, typed sample statistics
+    out. Valid canonical PCM WAV payloads take decode_wav (the REAL
+    codec); everything else the deterministic fake over identical
+    plumbing. Arrow-sized batches bound executor memory regardless of
+    scale, same contract as decode_media."""
+
+    def run(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "sample_rate": [], "n_channels": [], "n_frames": [],
+                "duration_ms": [], "peak_abs": [], "meansq": [], "decoder": [],
+            }
+            for data in pdf["data"]:
+                b = bytes(data) if data is not None else b""
+                if parse_wav_header(b) is not None:
+                    sr, nc, nf, dur, peak, msq = decode_wav(b)
+                    dec = "wav"
+                else:
+                    sr, nc, nf, dur, peak, msq = _audio_fake(b)
+                    dec = "fake"
+                cols["sample_rate"].append(sr)
+                cols["n_channels"].append(nc)
+                cols["n_frames"].append(nf)
+                cols["duration_ms"].append(dur)
+                cols["peak_abs"].append(peak)
+                cols["meansq"].append(msq)
+                cols["decoder"].append(dec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["data"].map(
+                        lambda d: len(d) if d is not None else 0
+                    ),
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(cols["n_channels"], dtype="int32"),
+                    "n_frames": pd.Series(cols["n_frames"], dtype="int64"),
+                    "duration_ms": pd.Series(cols["duration_ms"], dtype="int64"),
+                    "peak_abs": pd.Series(cols["peak_abs"], dtype="int32"),
+                    "meansq": pd.Series(cols["meansq"], dtype="int64"),
+                    "decoder": cols["decoder"],
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+# WAV gate fixture: doc_ids below -100 keep them disjoint from both the
+# corpus and the BMP fixtures; shapes cover a single frame, odd frame
+# counts, mono/stereo, the full supported rate range, and enough samples
+# (1000 frames stereo) that the oracle's per-sample SQL replay is a real
+# workout. The gate oracle re-derives channels/rate/size AND the sample
+# statistics in SQL from the raw bytes — see
+# queries_training._o_audio_stats.
+WAV_FIXTURE_SPECS: list[tuple[int, int, int, int, int]] = [
+    (-101, 1, 8000, 1, 3),
+    (-102, 37, 16000, 1, 5),
+    (-103, 100, 16000, 2, 7),
+    (-104, 256, 44100, 2, 11),
+    (-105, 3, 22050, 1, 13),
+    (-106, 500, 48000, 1, 17),
+    (-107, 64, 11025, 1, 19),
+    (-108, 1000, 8000, 2, 23),
+]
+
+
+def wav_fixture_rows() -> list[tuple[int, bytes]]:
+    """[(doc_id, wav_bytes)] — deterministic, shared by the Spark gate
+    leg and the DuckDB oracle generator."""
+    return [
+        (fid, make_wav(nf, sr, nc, seed))
+        for fid, nf, sr, nc, seed in WAV_FIXTURE_SPECS
+    ]
 
 
 def _decode_real(data: bytes, kind: str):

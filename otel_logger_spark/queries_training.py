@@ -1172,6 +1172,113 @@ FROM (
 """
 
 
+def q_audio_stats(spark, sf_dir):
+    """Audio leg of the multimodal surface: corpus 'audio' rows (opaque
+    text payloads -> deterministic fake stats) + WAV fixture leg (real
+    stdlib codec: decode_audio sniffs the canonical PCM header and runs
+    functions/multimodal.decode_wav — numpy over the actual int16
+    samples). The oracle re-derives channels/rate/frame-count AND the
+    per-sample statistics (peak amplitude, integer mean-square) IN SQL
+    from the raw bytes of the exact same payloads — a genuine
+    cross-engine replay of the audio codec path."""
+    from otel_logger_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        wav_fixture_rows,
+    )
+
+    media = as_media(_load_documents(spark, sf_dir)).filter(
+        F.col("kind") == "audio"
+    )
+    fix = spark.createDataFrame(
+        [
+            (fid, "audio", data, {"codec": "wav"})
+            for fid, data in wav_fixture_rows()
+        ],
+        MEDIA_SCHEMA,
+    )
+    return decode_audio(media.unionByName(fix))
+
+
+O_AUDIO_STATS_CORPUS = """
+SELECT doc_id, 'audio' AS kind,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CAST(16000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(strlen(text) AS BIGINT) AS n_frames,
+  CAST((1000 * strlen(text)) // 16000 AS BIGINT) AS duration_ms,
+  CAST(strlen(text) % 32768 AS INT) AS peak_abs,
+  CAST((strlen(text) * 37) % 1048576 AS BIGINT) AS meansq,
+  'fake' AS decoder
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
+def _o_audio_stats() -> str:
+    """Corpus fake-stats leg UNION the WAV fixtures decoded from raw
+    bytes in DuckDB: header fields are little-endian integers at the
+    canonical offsets (channels@22, rate@24, data_size@40, 0-based), and
+    the sample statistics replay EVERY int16 sample word — range() over
+    the sample index, two hex bytes per sample, two's-complement sign
+    fold, MAX(ABS(v)) and SUM(v*v)//n. The SQL never sees the
+    generator's arguments — only the bytes (range(4096) is a loop bound,
+    filtered by the header-derived sample count)."""
+    from otel_logger_spark.functions.multimodal import wav_fixture_rows
+
+    def byte(off: int) -> str:  # 0-based byte offset into hex string h
+        return f"(('0x' || substring(h, {2 * off + 1}, 2))::BIGINT)"
+
+    def le16(off: int) -> str:
+        return f"({byte(off)} + 256 * {byte(off + 1)})"
+
+    def le32(off: int) -> str:
+        return (
+            f"({byte(off)} + 256 * {byte(off + 1)} + 65536 * {byte(off + 2)}"
+            f" + 16777216 * {byte(off + 3)})"
+        )
+
+    vals = ",\n    ".join(
+        f"({fid}, '{data.hex().upper()}')" for fid, data in wav_fixture_rows()
+    )
+    lo = "(('0x' || substring(f.h, 89 + 4 * r.range, 2))::BIGINT)"
+    hi = "(('0x' || substring(f.h, 91 + 4 * r.range, 2))::BIGINT)"
+    return f"""{O_AUDIO_STATS_CORPUS}
+UNION ALL
+SELECT hdr.doc_id, 'audio' AS kind,
+  CAST(strlen(hdr.h) // 2 AS BIGINT) AS n_bytes,
+  CAST(hdr.sample_rate AS INT) AS sample_rate,
+  CAST(hdr.n_channels AS INT) AS n_channels,
+  CAST(hdr.data_size // (2 * hdr.n_channels) AS BIGINT) AS n_frames,
+  CAST((1000 * (hdr.data_size // (2 * hdr.n_channels))) // hdr.sample_rate
+       AS BIGINT) AS duration_ms,
+  CAST(agg.peak_abs AS INT) AS peak_abs,
+  CAST(agg.meansq AS BIGINT) AS meansq,
+  'wav' AS decoder
+FROM (
+  SELECT doc_id, h, {le16(22)} AS n_channels, {le32(24)} AS sample_rate,
+         {le32(40)} AS data_size
+  FROM (VALUES
+    {vals}) AS v(doc_id, h)
+) hdr
+JOIN (
+  SELECT doc_id, MAX(ABS(v)) AS peak_abs,
+         CAST(SUM(v * v) // COUNT(*) AS BIGINT) AS meansq
+  FROM (
+    SELECT f.doc_id,
+      ({lo} + 256 * {hi}
+       - CASE WHEN {hi} >= 128 THEN 65536 ELSE 0 END
+      ) AS v
+    FROM (
+      SELECT doc_id, h, {le32(40)} AS data_size
+      FROM (VALUES
+        {vals}) AS v(doc_id, h)
+    ) f, range(4096) r
+    WHERE r.range < f.data_size // 2
+  ) GROUP BY doc_id
+) agg ON hdr.doc_id = agg.doc_id
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition quality metrics per document
     (functions/repetition.py): duplicate-line fraction, top-bigram
@@ -1523,6 +1630,7 @@ QUERIES_C = {
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "audio_stats": q_audio_stats,
     "pii_redaction": q_pii_redaction,
     "pack_shards": q_pack_shards,
     "doc_repetition": q_doc_repetition,
@@ -1567,6 +1675,7 @@ ORACLES_C = {
     "text_quality": O_TEXT_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "multimodal_decode": _o_multimodal_decode(),
+    "audio_stats": _o_audio_stats(),
     "pii_redaction": _o_pii_redaction(),
     "pack_shards": O_PACK_SHARDS,
     "doc_repetition": _o_doc_repetition(),

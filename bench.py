@@ -204,6 +204,7 @@ def main():
             run("diversity", lambda: QT.q_diversity(spark, sf_dir).collect())
             run("temperature_mix", lambda: QT.q_temperature_mix(spark, sf_dir).collect())
             run("corpus_cartography", lambda: QT.q_corpus_cartography(spark, sf_dir).collect())
+            run("audio_stats", lambda: QT.q_audio_stats(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -64,9 +64,11 @@ GATE_DEFERRED: list[str] = [
     # (queries_extra.py) and oracle (oracles_hll.py) untouched in r8.
     "approx_distinct",
     # deferred late-round-8 to make window room for the NEW audio_stats
-    # query (WAV codec): r7-green, engine (operators/funnel.py) and
-    # oracle (queries_extra.py) untouched in r8.
+    # and embedding_outliers queries: r7-green, engines
+    # (operators/funnel.py, functions/dsir.py) and oracles untouched
+    # in r8.
     "funnel",
+    "dsir_select",
 ]
 
 

@@ -205,6 +205,7 @@ def main():
             run("temperature_mix", lambda: QT.q_temperature_mix(spark, sf_dir).collect())
             run("corpus_cartography", lambda: QT.q_corpus_cartography(spark, sf_dir).collect())
             run("audio_stats", lambda: QT.q_audio_stats(spark, sf_dir).collect())
+            run("embedding_outliers", lambda: QT.q_embedding_outliers(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

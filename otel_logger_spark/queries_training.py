@@ -1172,6 +1172,78 @@ FROM (
 """
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding outlier audit (functions/outliers.py): per-label
+    centroid in exact non-negative integer space, squared distances, and
+    the milli-precision outlier flag — (label, n_vecs, n_outliers,
+    mean_d2, max_d2, top_outlier_id). The corpus is augmented with
+    injected outliers (every 50th vector re-appears +0.5 on its first
+    eight dims, id +20000 — the _augmented_vectors pattern) so BOTH flag
+    branches are exercised: the synthetic corpus alone is uniform enough
+    that nothing exceeds 2x mean distance. The oracle constructs the
+    identical augmentation and replays the integer pipeline over DuckDB
+    unnest/window functions. IEEE-double determinism: float32 widens
+    exactly, +0.5 is exact rounding in both engines, so the quantized
+    integers are bit-identical."""
+    from otel_logger_spark.functions.outliers import outlier_report
+
+    emb = _load_embeddings(spark, sf_dir)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", as_double.alias("embedding"))
+    pert = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.transform(
+                F.slice("embedding", 1, 8), lambda x: x + F.lit(0.5)
+            ),
+            F.slice("embedding", 9, 100000),
+        ).alias("embedding"),
+    )
+    return outlier_report(base.unionByName(pert))
+
+
+O_EMBEDDING_OUTLIERS = """
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, label, v FROM base
+  UNION ALL
+  SELECT vec_id + 20000 AS vec_id, label,
+    list_concat(list_transform(v[1:8], x -> x + 0.5), v[9:]) AS v
+  FROM base WHERE vec_id % 50 = 0),
+e AS (
+  SELECT vec_id, label,
+    unnest(generate_series(1, len(v))) AS pos,
+    unnest(list_transform(v,
+      x -> CAST(FLOOR(x * 1000000) AS BIGINT) + 1000000)) AS q
+  FROM aug),
+cent AS (
+  SELECT label, pos, CAST(SUM(q) // COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY label, pos),
+d AS (
+  SELECT e.vec_id, e.label,
+    CAST(SUM((e.q - cent.c) * (e.q - cent.c)) AS BIGINT) AS dist2
+  FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+  GROUP BY e.vec_id, e.label),
+m AS (
+  SELECT label, CAST(SUM(dist2) // COUNT(*) AS BIGINT) AS mean_d2
+  FROM d GROUP BY label),
+f AS (
+  SELECT d.vec_id, d.label, d.dist2, m.mean_d2,
+    (1000 * d.dist2 > 2000 * m.mean_d2) AS is_outlier,
+    ROW_NUMBER() OVER (PARTITION BY d.label
+                       ORDER BY d.dist2 DESC, d.vec_id) AS rk
+  FROM d JOIN m USING (label))
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(MAX(mean_d2) AS BIGINT) AS mean_d2,
+  CAST(MAX(dist2) AS BIGINT) AS max_d2,
+  CAST(MIN(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT) AS top_outlier_id
+FROM f GROUP BY label
+"""
+
+
 def q_audio_stats(spark, sf_dir):
     """Audio leg of the multimodal surface: corpus 'audio' rows (opaque
     text payloads -> deterministic fake stats) + WAV fixture leg (real
@@ -1631,6 +1703,7 @@ QUERIES_C = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "audio_stats": q_audio_stats,
+    "embedding_outliers": q_embedding_outliers,
     "pii_redaction": q_pii_redaction,
     "pack_shards": q_pack_shards,
     "doc_repetition": q_doc_repetition,
@@ -1676,6 +1749,7 @@ ORACLES_C = {
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "multimodal_decode": _o_multimodal_decode(),
     "audio_stats": _o_audio_stats(),
+    "embedding_outliers": O_EMBEDDING_OUTLIERS,
     "pii_redaction": _o_pii_redaction(),
     "pack_shards": O_PACK_SHARDS,
     "doc_repetition": _o_doc_repetition(),

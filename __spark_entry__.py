@@ -69,6 +69,7 @@ GATE_DEFERRED: list[str] = [
     # in r8.
     "funnel",
     "dsir_select",
+    "leakage_split",
 ]
 
 

@@ -206,6 +206,7 @@ def main():
             run("corpus_cartography", lambda: QT.q_corpus_cartography(spark, sf_dir).collect())
             run("audio_stats", lambda: QT.q_audio_stats(spark, sf_dir).collect())
             run("embedding_outliers", lambda: QT.q_embedding_outliers(spark, sf_dir).collect())
+            run("bigram_fluency", lambda: QT.q_bigram_fluency(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -858,6 +858,110 @@ def _o_lm_fluency() -> str | None:
     )
 
 
+_BI_K = 16
+_BI_B = 64
+_BI_THRESHOLD_MICRO = 6_200_000
+
+
+def q_bigram_fluency(spark, sf_dir):
+    """Bigram stupid-backoff fluency (functions/bigram.py, Brants et al.
+    2007 distributed-LM scoring): top-16 unigram vocab + top-64 in-vocab
+    bigram table from the lang='en' reference leg, zero-shuffle
+    literal-fold scoring (pairs built in place with slice+zip_with, no
+    sequencing shuffle), per-language fluency-cut accounting. The oracle
+    re-derives BOTH reference tables and the positional CASE scoring in
+    DuckDB; only the nll formulas are shared (the DSIR lambda
+    discipline)."""
+    from otel_logger_spark.functions.bigram import bigram_fluency_report
+
+    corpus = load_corpus(spark, sf_dir)
+    ref = corpus.filter(F.col("lang") == "en")
+    return bigram_fluency_report(
+        corpus, ref, k=_BI_K, b=_BI_B,
+        threshold_micro=_BI_THRESHOLD_MICRO,
+    )
+
+
+def _o_bigram_fluency() -> str | None:
+    """Reference tables depend on the corpus — generator reads the
+    gate's own input (the _o_lm_fluency discipline)."""
+    import os
+
+    import duckdb as _duck
+
+    from otel_logger_spark.functions.bigram import (
+        backoff_nll,
+        bigram_nll_table,
+    )
+    from otel_logger_spark.functions.lmscore import nll_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    uni_counts = [
+        (t, c)
+        for t, c in con.execute(
+            corpus_cte()
+            + f"""
+ , toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM corpus WHERE lang = 'en')
+ SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+ ORDER BY c DESC, tok ASC LIMIT {_BI_K}"""
+        ).fetchall()
+    ]
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    in_vocab = ", ".join(f"'{esc(t)}'" for t, _ in uni_counts)
+    bi_counts = [
+        (p, c)
+        for p, c in con.execute(
+            corpus_cte()
+            + f"""
+ , dw AS (SELECT string_split(text, ' ') AS w FROM corpus WHERE lang = 'en'),
+ pos AS (SELECT w, unnest(generate_series(2, len(w))) AS i FROM dw),
+ pr AS (SELECT w[i-1] AS w1, w[i] AS w2 FROM pos)
+ SELECT w1 || ' ' || w2 AS pair, COUNT(*) AS c FROM pr
+ WHERE w1 IN ({in_vocab}) AND w2 IN ({in_vocab})
+ GROUP BY 1 ORDER BY c DESC, pair ASC LIMIT {_BI_B}"""
+        ).fetchall()
+    ]
+    con.close()
+    uni_tab, oov = nll_table(uni_counts)
+    bi_tab = bigram_nll_table(bi_counts, uni_counts)
+    bo = backoff_nll()
+    uni_vals = ", ".join(f"('{esc(t)}', {v})" for t, v in uni_tab.items())
+    bi_vals = ", ".join(
+        f"('{esc(p)}', {v})" for p, v in bi_tab.items()
+    ) or "('', 0)"
+    return (
+        corpus_cte()
+        + f"""
+ , dw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus),
+ pos AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w))) AS i FROM dw),
+ t AS (SELECT doc_id, lang, w[i] AS tok,
+              CASE WHEN i > 1 THEN w[i-1] || ' ' || w[i] END AS pair
+       FROM pos),
+ uni(tok, v) AS (SELECT * FROM (VALUES {uni_vals})),
+ bi(pair, bv) AS (SELECT * FROM (VALUES {bi_vals})),
+ costed AS (SELECT doc_id, lang,
+       CASE WHEN t.pair IS NULL THEN COALESCE(u.v, {oov})
+            ELSE COALESCE(b.bv, {bo} + COALESCE(u.v, {oov})) END AS cost
+   FROM t LEFT JOIN uni u USING (tok) LEFT JOIN bi b USING (pair)),
+ pd AS (SELECT doc_id, lang, SUM(cost) AS total, COUNT(*) AS n_tok
+        FROM costed GROUP BY 1, 2),
+ sc AS (SELECT lang, total // n_tok AS mean_nll FROM pd)
+ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN mean_nll <= {_BI_THRESHOLD_MICRO} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fluent,
+        CAST(SUM(mean_nll) AS BIGINT) AS sum_mean_nll
+ FROM sc GROUP BY 1"""
+    )
+
+
 _VOCAB_K = 16
 
 
@@ -1724,6 +1828,7 @@ QUERIES_C = {
     "vocab_oov": q_vocab_oov,
     "source_overlap": q_source_overlap,
     "lm_fluency": q_lm_fluency,
+    "bigram_fluency": q_bigram_fluency,
     "contamination_profile": q_contamination_profile,
     "temperature_mix": q_temperature_mix,
     "corpus_cartography": q_corpus_cartography,
@@ -1789,6 +1894,7 @@ def resolve_lazy_oracles(oracles: dict) -> dict:
         ("corpus_cartography", _o_corpus_cartography),
         ("dsir_select", _o_dsir_select),
         ("lm_fluency", _o_lm_fluency),
+        ("bigram_fluency", _o_bigram_fluency),
     ):
         try:
             sql = gen()

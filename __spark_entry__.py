@@ -70,6 +70,7 @@ GATE_DEFERRED: list[str] = [
     "funnel",
     "dsir_select",
     "leakage_split",
+    "source_overlap",
 ]
 
 

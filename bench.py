@@ -207,6 +207,7 @@ def main():
             run("audio_stats", lambda: QT.q_audio_stats(spark, sf_dir).collect())
             run("embedding_outliers", lambda: QT.q_embedding_outliers(spark, sf_dir).collect())
             run("bigram_fluency", lambda: QT.q_bigram_fluency(spark, sf_dir).collect())
+            run("chunk_windows", lambda: QT.q_chunk_windows(spark, sf_dir).count())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -858,6 +858,46 @@ def _o_lm_fluency() -> str | None:
     )
 
 
+_CHUNK_SIZE = 24
+_CHUNK_OVERLAP = 6
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Context-window chunking (functions/chunking.py): every document
+    becomes stride-overlapped token windows of at most 24 tokens
+    (stride 18), last-window-never-dropped. One codegen projection +
+    explode — no shuffle, no UDF; the oracle replays the chunk grammar
+    with generate_series + inclusive list slicing."""
+    from otel_logger_spark.functions.chunking import chunk_documents
+
+    corpus = load_corpus(spark, sf_dir)
+    return chunk_documents(
+        corpus, _CHUNK_SIZE, _CHUNK_OVERLAP, carry_cols=("lang",)
+    )
+
+
+def _o_chunk_windows() -> str:
+    size, stride = _CHUNK_SIZE, _CHUNK_SIZE - _CHUNK_OVERLAP
+    return (
+        corpus_cte()
+        + f"""
+ , dw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus),
+ par AS (SELECT doc_id, lang, w,
+   CASE WHEN len(w) <= {size} THEN 1
+        ELSE 1 + (len(w) - {size} + {stride} - 1) // {stride} END AS n_chunks
+   FROM dw),
+ ix AS (SELECT doc_id, lang, w,
+   unnest(generate_series(0, n_chunks - 1)) AS i FROM par)
+ SELECT doc_id, lang, CAST(i AS BIGINT) AS chunk_idx,
+   CAST(i * {stride} + 1 AS BIGINT) AS chunk_start,
+   CAST(len(w[i * {stride} + 1 : i * {stride} + {size}]) AS BIGINT)
+     AS n_chunk_tokens,
+   array_to_string(w[i * {stride} + 1 : i * {stride} + {size}], ' ')
+     AS chunk_text
+ FROM ix"""
+    )
+
+
 _BI_K = 16
 _BI_B = 64
 _BI_THRESHOLD_MICRO = 6_200_000
@@ -1829,6 +1869,7 @@ QUERIES_C = {
     "source_overlap": q_source_overlap,
     "lm_fluency": q_lm_fluency,
     "bigram_fluency": q_bigram_fluency,
+    "chunk_windows": q_chunk_windows,
     "contamination_profile": q_contamination_profile,
     "temperature_mix": q_temperature_mix,
     "corpus_cartography": q_corpus_cartography,
@@ -1855,6 +1896,7 @@ ORACLES_C = {
     "multimodal_decode": _o_multimodal_decode(),
     "audio_stats": _o_audio_stats(),
     "embedding_outliers": O_EMBEDDING_OUTLIERS,
+    "chunk_windows": _o_chunk_windows(),
     "pii_redaction": _o_pii_redaction(),
     "pack_shards": O_PACK_SHARDS,
     "doc_repetition": _o_doc_repetition(),

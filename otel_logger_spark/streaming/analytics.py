@@ -336,6 +336,81 @@ def read_oov_report(
     return oov_from_per_doc(parts, group_col=group_col)
 
 
+DIVERSITY_COUNTS_SINK = "diversity_counts"
+DIVERSITY_DIGESTS_SINK = "diversity_digests"
+
+
+def write_diversity_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    n: int = 3,
+    group_col: str = "source",
+) -> None:
+    """One micro-batch's diversity partials: summable counts + the
+    batch-DISTINCT digest set (the exact-distinct decomposition —
+    distinct-of-union == distinct). Both sinks batchId-idempotent via
+    batchid=<id> overwrite."""
+    from otel_logger_spark.functions.diversity import diversity_partials
+
+    counts, digests = diversity_partials(batch_df, n, group_col)
+    counts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, DIVERSITY_COUNTS_SINK, f"batchid={batch_id}")
+    )
+    digests.write.mode("overwrite").parquet(
+        os.path.join(out_dir, DIVERSITY_DIGESTS_SINK, f"batchid={batch_id}")
+    )
+
+
+def run_streaming_diversity(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    group_col: str = "source",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """N-gram diversity partials over a live documents stream. Unlike
+    the contamination/OOV partials (pure sums), the distinct-gram
+    metrics need the exact-distinct decomposition: each batch ships its
+    DISTINCT (group, kind, digest) set — bounded by the batch's
+    vocabulary, never its token stream — and the finalizer re-distincts
+    the union. Returns the started query."""
+    stream = read_documents_stream(spark, input_dir, max_files_per_trigger)
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        write_diversity_batch(batch_df, batch_id, out_dir, n, group_col)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_diversity_report(
+    spark: SparkSession, out_dir: str, group_col: str = "source"
+) -> DataFrame:
+    """Finalize the diversity sinks: sums over the count partials, COUNT
+    DISTINCT over the re-unioned digest partials — row-for-row equal to
+    batch diversity_report (pinned by pytest)."""
+    from otel_logger_spark.functions.diversity import diversity_finalize
+
+    counts = spark.read.parquet(os.path.join(out_dir, DIVERSITY_COUNTS_SINK))
+    digests = spark.read.parquet(
+        os.path.join(out_dir, DIVERSITY_DIGESTS_SINK)
+    )
+    return diversity_finalize(
+        counts.drop("batchid"), digests.drop("batchid"), group_col
+    )
+
+
 def read_contamination_profile(
     spark: SparkSession, out_dir: str, group_col: str = "source"
 ) -> DataFrame:

@@ -71,6 +71,7 @@ GATE_DEFERRED: list[str] = [
     "dsir_select",
     "leakage_split",
     "source_overlap",
+    "token_mix",
 ]
 
 

@@ -858,6 +858,55 @@ def _o_lm_fluency() -> str | None:
     )
 
 
+def q_image_near_dup(spark, sf_dir):
+    """Image near-dup via banded perceptual-hash Hamming matching
+    (functions/imagedup.py): corpus image rows decode to 64-bit phashes
+    (digest fake — sha256 prefix, SQL-replayable), every 8th image also
+    appears as an injected 1-bit-flipped copy (id +30000, bit doc_id%60)
+    so true near-pairs exist; the banded plan must return EXACTLY the
+    brute-force pair set (pigeonhole: hamming < 4 bands shares a band)."""
+    from otel_logger_spark.functions.imagedup import phash_near_pairs
+    from otel_logger_spark.functions.multimodal import decode_media
+
+    media = as_media(_load_documents(spark, sf_dir)).filter(
+        F.col("kind") == "image"
+    )
+    dec = decode_media(media).select("doc_id", "phash")
+    pert = dec.filter(F.col("doc_id") % 24 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.expr(
+            "phash ^ shiftleft(1L, cast(doc_id % 60 as int))"
+        ).alias("phash"),
+    )
+    return phash_near_pairs(dec.unionByName(pert), max_hamming=3)
+
+
+def _o_image_near_dup() -> str:
+    """Brute-force Hamming pairs in DuckDB over the identical phash
+    construction: sha256-prefix fake decode replayed from raw text
+    (hex halves -> HUGEINT -> offset-signed int64), same 1-bit
+    perturbation, bit_count(xor) filter. Banding is plan-only — the
+    answer sets must be equal."""
+    ph = (
+        "CAST((('0x'||substring(sha256(text),1,8))::BIGINT::HUGEINT "
+        "* 4294967296 + ('0x'||substring(sha256(text),9,8))::BIGINT) "
+        "- 9223372036854775808 AS BIGINT)"
+    )
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, {ph} AS phash FROM documents WHERE doc_id % 3 = 0),
+pert AS (
+  SELECT doc_id + 30000 AS doc_id,
+         xor(phash, (1::BIGINT << CAST(doc_id % 60 AS INT))) AS phash
+  FROM imgs WHERE doc_id % 24 = 0),
+allv AS (SELECT * FROM imgs UNION ALL SELECT * FROM pert)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM allv a, allv b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 _CHUNK_SIZE = 24
 _CHUNK_OVERLAP = 6
 
@@ -1870,6 +1919,7 @@ QUERIES_C = {
     "lm_fluency": q_lm_fluency,
     "bigram_fluency": q_bigram_fluency,
     "chunk_windows": q_chunk_windows,
+    "image_near_dup": q_image_near_dup,
     "contamination_profile": q_contamination_profile,
     "temperature_mix": q_temperature_mix,
     "corpus_cartography": q_corpus_cartography,
@@ -1897,6 +1947,7 @@ ORACLES_C = {
     "audio_stats": _o_audio_stats(),
     "embedding_outliers": O_EMBEDDING_OUTLIERS,
     "chunk_windows": _o_chunk_windows(),
+    "image_near_dup": _o_image_near_dup(),
     "pii_redaction": _o_pii_redaction(),
     "pack_shards": O_PACK_SHARDS,
     "doc_repetition": _o_doc_repetition(),

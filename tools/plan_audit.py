@@ -273,6 +273,58 @@ COMMENT = {
         "however wide the table is; classification and the summary agg "
         "run on integers. Generations bucketed on the key diff with "
         "ZERO exchanges (pinned by tests/test_snapshot_diff.py)."),
+    "temperature_mix": (
+        "alpha-sampling quotas: ONE corpus aggregation (per-source token "
+        "totals, map-side partials); isqrt/largest-remainder planning "
+        "runs as windows over the O(sources) frame; apply is a broadcast "
+        "of the tiny plan + codegen Knuth-hash keep filter — text never "
+        "shuffles."),
+    "corpus_cartography": (
+        "embedding-space source audit: assignment is the O(k)-plan-node "
+        "array-literal distance path (no join for centroids); only "
+        "(id, cluster_id) crosses an exchange; dominant-source ranking "
+        "and Herfindahl concentration are windows over the "
+        "O(clusters x sources) frame with an in-plan int64 overflow "
+        "guard."),
+    "embedding_outliers": (
+        "group-centroid outlier audit: the posexplode per-dim "
+        "aggregation has map-side partials (exchange carries groups x D "
+        "x partitions partial rows, never the corpus); centroid AND "
+        "group mean-distance come out of that ONE aggregation via the "
+        "sum-of-squares decomposition in DECIMAL(38,0) (a second "
+        "corpus agg would be re-executed — Catalyst has no cross-branch "
+        "CSE); distances are zip_with codegen folds after one broadcast "
+        "join. Corpus traversed exactly twice. Gate-scale exchange count "
+        "is inflated by fan_out_if_narrow repartitions on each of the "
+        "four scan legs (base+pert x two traversals) — a real table's "
+        "natural splits skip all of them."),
+    "bigram_fluency": (
+        "stupid-backoff scoring (gate = literal regime): transitions are "
+        "built IN PLACE with slice+zip_with (no posexplode+lag "
+        "sequencing shuffle) and the fold runs against two literal maps "
+        "— corpus text crosses zero exchanges; only the per-group "
+        "accounting aggregate shuffles. Above max_literal_k the plan "
+        "switches to broadcast double-probe joins (B-row bigram table on "
+        "pair, K-row unigram on tok) with map-side per-doc collapse — "
+        "pinned bit-identical in tests/test_bigram.py."),
+    "chunk_windows": (
+        "context-window chunking: ONE codegen projection + explode "
+        "(transform(sequence) over the in-place token array) — zero "
+        "Exchange from the operator itself (pinned on a natural-split "
+        "read in tests/test_chunking.py; the single exchange here is the "
+        "gate loader's fan_out_if_narrow repartition), no UDF, no window "
+        "function; chunk rows leave the scan partition only as output."),
+    "image_near_dup": (
+        "banded phash Hamming: ONE exchange of (id, phash, band) rows — "
+        "4 narrow rows per image, payloads never shuffle — then the "
+        "same-key self-join pairs within band buckets and bit_count(xor) "
+        "verifies in codegen. Candidates are pigeonhole-complete for "
+        "hamming < 4 (banding is plan-only, the brute-force oracle "
+        "matches exactly); hot buckets cap via the MinHash discipline. "
+        "The gate plan re-runs the mapInPandas decode on both join "
+        "sides (no cross-branch CSE) — production input is the already-"
+        "materialized decoded-metadata table, where the op is the one "
+        "band exchange + join."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -399,6 +451,21 @@ def main():
 
     dfs["freqcap"] = q_freqcap(spark, sf_dir)
     dfs["diversity"] = q_diversity(spark, sf_dir)
+    from otel_logger_spark.queries_training import (
+        q_bigram_fluency,
+        q_chunk_windows,
+        q_corpus_cartography,
+        q_embedding_outliers,
+        q_image_near_dup,
+        q_temperature_mix,
+    )
+
+    dfs["temperature_mix"] = q_temperature_mix(spark, sf_dir)
+    dfs["corpus_cartography"] = q_corpus_cartography(spark, sf_dir)
+    dfs["embedding_outliers"] = q_embedding_outliers(spark, sf_dir)
+    dfs["bigram_fluency"] = q_bigram_fluency(spark, sf_dir)
+    dfs["chunk_windows"] = q_chunk_windows(spark, sf_dir)
+    dfs["image_near_dup"] = q_image_near_dup(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

@@ -72,6 +72,8 @@ GATE_DEFERRED: list[str] = [
     "leakage_split",
     "source_overlap",
     "token_mix",
+    "cms_counts",
+    "exact_percentiles",
 ]
 
 

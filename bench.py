@@ -209,6 +209,7 @@ def main():
             run("bigram_fluency", lambda: QT.q_bigram_fluency(spark, sf_dir).collect())
             run("chunk_windows", lambda: QT.q_chunk_windows(spark, sf_dir).count())
             run("image_near_dup", lambda: QT.q_image_near_dup(spark, sf_dir).collect())
+            run("bpe_encode", lambda: QT.q_bpe_encode(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

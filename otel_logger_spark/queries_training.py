@@ -858,6 +858,126 @@ def _o_lm_fluency() -> str | None:
     )
 
 
+_BPE_MERGES = 12
+_BPE_SCHEMA = (
+    "rank bigint, lhs string, rhs string, merged string, pair_count bigint"
+)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/bpe.py, Sennrich
+    arXiv:1508.07909): the corpus -> word-frequency aggregation is the
+    distributed leg; the merge loop is bounded driver state over that
+    table (the ivf.py-centroid discipline — and where every real BPE
+    trainer runs it). The oracle derives word counts INDEPENDENTLY in
+    DuckDB and feeds the same shared merge loop, so the hash-match
+    checks the distributed aggregation."""
+    from otel_logger_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(load_corpus(spark, sf_dir), _BPE_MERGES)
+    return spark.createDataFrame(
+        [(int(r), a, b, m, int(c)) for r, a, b, m, c in merges], _BPE_SCHEMA
+    )
+
+
+def _o_bpe_word_counts(sf_dir: str) -> list[tuple[str, int]] | None:
+    import os
+
+    import duckdb as _duck
+
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    counts = con.execute(
+        corpus_cte()
+        + """
+ , toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM corpus)
+ SELECT word, COUNT(*) AS c FROM toks WHERE word <> '' GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    return [(w, c) for w, c in counts]
+
+
+def _o_bpe_merges() -> str | None:
+    import os
+
+    from otel_logger_spark.functions.bpe import bpe_train_from_counts
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    counts = _o_bpe_word_counts(sf_dir)
+    if counts is None:
+        return None
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    vals = ", ".join(
+        f"({r}, '{esc(a)}', '{esc(b)}', '{esc(m)}', {c})"
+        for r, a, b, m, c in bpe_train_from_counts(counts, _BPE_MERGES)
+    )
+    return f"""
+SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES {vals}) AS t(rank, lhs, rhs, merged, pair_count)
+"""
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encode accounting: per-language word and sub-word token
+    totals under the learned merges, via the Arrow-batched per-word fold
+    (functions/bpe.encode_with_merges — the scale encode path: pure
+    per-word function, batch-memoized, one tiny row per doc out). The
+    oracle joins corpus words against an embedded word->token-count
+    table built by the SAME shared fold over its own independently
+    derived word list."""
+    from otel_logger_spark.functions.bpe import bpe_train, encode_with_merges
+
+    corpus = load_corpus(spark, sf_dir)
+    merges = bpe_train(corpus, _BPE_MERGES)
+    enc = encode_with_merges(corpus, merges, carry_cols=("lang",))
+    return enc.groupBy("lang").agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.expr(
+            "CAST((1000 * SUM(n_bpe_tokens)) DIV SUM(n_words) AS BIGINT)"
+        ).alias("tokens_per_word_milli"),
+    )
+
+
+def _o_bpe_encode() -> str | None:
+    import os
+
+    from otel_logger_spark.functions.bpe import (
+        bpe_train_from_counts,
+        encode_word,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    counts = _o_bpe_word_counts(sf_dir)
+    if counts is None:
+        return None
+    merges = bpe_train_from_counts(counts, _BPE_MERGES)
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    vals = ", ".join(
+        f"('{esc(w)}', {len(encode_word(w, merges))})" for w, _ in counts
+    )
+    return (
+        corpus_cte()
+        + f"""
+ , toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM corpus),
+ wt(word, ntok) AS (SELECT * FROM (VALUES {vals}))
+ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(wt.ntok) AS BIGINT) AS n_bpe_tokens,
+        CAST((1000 * SUM(wt.ntok)) // COUNT(*) AS BIGINT)
+          AS tokens_per_word_milli
+ FROM toks JOIN wt USING (word)
+ WHERE word <> ''
+ GROUP BY lang"""
+    )
+
+
 def q_image_near_dup(spark, sf_dir):
     """Image near-dup via banded perceptual-hash Hamming matching
     (functions/imagedup.py): corpus image rows decode to 64-bit phashes
@@ -1920,6 +2040,8 @@ QUERIES_C = {
     "bigram_fluency": q_bigram_fluency,
     "chunk_windows": q_chunk_windows,
     "image_near_dup": q_image_near_dup,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "contamination_profile": q_contamination_profile,
     "temperature_mix": q_temperature_mix,
     "corpus_cartography": q_corpus_cartography,
@@ -1988,6 +2110,8 @@ def resolve_lazy_oracles(oracles: dict) -> dict:
         ("dsir_select", _o_dsir_select),
         ("lm_fluency", _o_lm_fluency),
         ("bigram_fluency", _o_bigram_fluency),
+        ("bpe_merges", _o_bpe_merges),
+        ("bpe_encode", _o_bpe_encode),
     ):
         try:
             sql = gen()

@@ -74,6 +74,7 @@ GATE_DEFERRED: list[str] = [
     "token_mix",
     "cms_counts",
     "exact_percentiles",
+    "rate_spikes",
 ]
 
 

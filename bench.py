@@ -210,6 +210,7 @@ def main():
             run("chunk_windows", lambda: QT.q_chunk_windows(spark, sf_dir).count())
             run("image_near_dup", lambda: QT.q_image_near_dup(spark, sf_dir).collect())
             run("bpe_encode", lambda: QT.q_bpe_encode(spark, sf_dir).collect())
+            run("hygiene_manifest", lambda: QT.q_hygiene_manifest(spark, sf_dir).collect())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -858,6 +858,106 @@ def _o_lm_fluency() -> str | None:
     )
 
 
+_HYG_QUALITY_MIN = 650
+_HYG_NLL_MAX = 5_600_000
+_HYG_REP_THR = {
+    "dup_line_milli": 300,
+    "top_bigram_milli": 90,  # tightened vs Gopher 180: single-line
+    "dup_5gram_milli": 150,  # synthetic docs zero the other two metrics
+}
+
+
+def q_hygiene_manifest(spark, sf_dir):
+    """Composed hygiene manifest (functions/hygiene.py): repetition +
+    quality + unigram-fluency rules in ONE corpus traversal (each rule a
+    codegen/fold projection, zero exchanges until the accounting agg),
+    per-language rejection counts per rule plus survivors. The oracle
+    recomposes all three rules independently in SQL — repetition via
+    repetition_stats_sql, quality via the text-quality expressions,
+    fluency via the NLL-table join replay."""
+    from otel_logger_spark.functions.hygiene import hygiene_report
+    from otel_logger_spark.functions.lmscore import (
+        nll_table,
+        reference_counts,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    uni_tab, oov = nll_table(
+        reference_counts(corpus.filter(F.col("lang") == "en"), _LM_K)
+    )
+    return hygiene_report(
+        corpus, uni_tab, oov, _HYG_QUALITY_MIN, _HYG_NLL_MAX, _HYG_REP_THR
+    )
+
+
+def _o_hygiene_manifest() -> str | None:
+    """All three rules recomposed in DuckDB over the same corpus; the
+    NLL table is derived from the gate's own input at generator time
+    (the _o_lm_fluency discipline)."""
+    import os
+
+    import duckdb as _duck
+
+    from otel_logger_spark.functions.lmscore import nll_table
+    from otel_logger_spark.functions.repetition import repetition_stats_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    counts = con.execute(
+        corpus_cte()
+        + f"""
+ , toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM corpus WHERE lang = 'en')
+ SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+ ORDER BY c DESC, tok ASC LIMIT {_LM_K}"""
+    ).fetchall()
+    con.close()
+    tab, oov = nll_table([(t, c) for t, c in counts])
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    vals = ", ".join(f"('{esc(t)}', {v})" for t, v in tab.items())
+    m = repetition_stats_sql("text")
+    rep_flag = " OR ".join(
+        f"({m[col]}) > {thr}" for col, thr in sorted(_HYG_REP_THR.items())
+    )
+    return (
+        corpus_cte()
+        + f"""
+ , rep AS (SELECT doc_id, ({rep_flag}) AS rep_flag FROM corpus),
+ qd AS (
+  SELECT doc_id, length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    (SELECT {{MARKERS}} FROM (SELECT ' ' || text || ' ' AS p)) AS n_stopwords
+  FROM corpus),
+ qual AS (SELECT doc_id,
+  ((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 400 ELSE 0 END
+   + least(CAST(FLOOR(1000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT), 300)
+   + CAST(FLOOR(FLOOR(1000 * n_alpha / greatest(n_chars, 1)) * 300 / 1000) AS BIGINT))
+   < {_HYG_QUALITY_MIN}) AS quality_flag FROM qd),
+ dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+ nll(tok, v) AS (SELECT * FROM (VALUES {vals})),
+ flu AS (SELECT doc_id,
+         ((SUM(COALESCE(n.v, {oov})) // COUNT(*)) > {_HYG_NLL_MAX}) AS fluency_flag
+         FROM dtoks LEFT JOIN nll n USING (tok) GROUP BY 1),
+ mf AS (SELECT c.lang, rep.rep_flag, qual.quality_flag, flu.fluency_flag
+        FROM corpus c
+        JOIN rep USING (doc_id) JOIN qual USING (doc_id) JOIN flu USING (doc_id))
+ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+   CAST(SUM(CASE WHEN rep_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+   CAST(SUM(CASE WHEN quality_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+   CAST(SUM(CASE WHEN fluency_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_fluency,
+   CAST(SUM(CASE WHEN NOT rep_flag AND NOT quality_flag AND NOT fluency_flag
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+ FROM mf GROUP BY 1""".replace("{MARKERS}", _ALL_MARKERS_SQL)
+    )
+
+
 _BPE_MERGES = 12
 _BPE_SCHEMA = (
     "rank bigint, lhs string, rhs string, merged string, pair_count bigint"
@@ -2042,6 +2142,7 @@ QUERIES_C = {
     "image_near_dup": q_image_near_dup,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "hygiene_manifest": q_hygiene_manifest,
     "contamination_profile": q_contamination_profile,
     "temperature_mix": q_temperature_mix,
     "corpus_cartography": q_corpus_cartography,
@@ -2112,6 +2213,7 @@ def resolve_lazy_oracles(oracles: dict) -> dict:
         ("bigram_fluency", _o_bigram_fluency),
         ("bpe_merges", _o_bpe_merges),
         ("bpe_encode", _o_bpe_encode),
+        ("hygiene_manifest", _o_hygiene_manifest),
     ):
         try:
             sql = gen()

@@ -325,6 +325,14 @@ COMMENT = {
         "sides (no cross-branch CSE) — production input is the already-"
         "materialized decoded-metadata table, where the op is the one "
         "band exchange + join."),
+    "hygiene_manifest": (
+        "composed hygiene manifest: three rejection rules (repetition, "
+        "quality, fluency) are ALL codegen/fold projections sharing ONE "
+        "corpus traversal — the per-doc manifest has zero Exchange and "
+        "one parquet scan (pinned in tests/test_hygiene.py); only the "
+        "per-group accounting aggregate shuffles, one tiny row per doc. "
+        "N rules compose in the projection, not as N jobs over 100 TB. "
+        "The gate plan's extra exchange is the loader fan-out."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -466,6 +474,9 @@ def main():
     dfs["bigram_fluency"] = q_bigram_fluency(spark, sf_dir)
     dfs["chunk_windows"] = q_chunk_windows(spark, sf_dir)
     dfs["image_near_dup"] = q_image_near_dup(spark, sf_dir)
+    from otel_logger_spark.queries_training import q_hygiene_manifest
+
+    dfs["hygiene_manifest"] = q_hygiene_manifest(spark, sf_dir)
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

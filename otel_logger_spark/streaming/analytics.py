@@ -336,6 +336,92 @@ def read_oov_report(
     return oov_from_per_doc(parts, group_col=group_col)
 
 
+HYGIENE_SINK = "hygiene_partials"
+
+
+def write_hygiene_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    uni_tab: dict,
+    oov_nll: int,
+    quality_min_milli: int,
+    nll_max_micro: int,
+    rep_thresholds_milli: dict | None = None,
+    group_col: str = "lang",
+) -> None:
+    """One micro-batch's per-doc hygiene manifest against the PINNED
+    rule parameters (the NLL table is a build-time artifact, like the
+    streaming-OOV vocabulary), batchId-idempotent via batchid=<id>
+    overwrite. Per-doc flag rows are exact partials: a doc lives wholly
+    in one micro-batch and the report is pure flag sums."""
+    from otel_logger_spark.functions.hygiene import hygiene_manifest
+
+    hygiene_manifest(
+        batch_df, uni_tab, oov_nll, quality_min_milli, nll_max_micro,
+        rep_thresholds_milli, carry_cols=(group_col,),
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, HYGIENE_SINK, f"batchid={batch_id}")
+    )
+
+
+def run_streaming_hygiene(
+    spark: SparkSession,
+    input_dir: str,
+    uni_tab: dict,
+    oov_nll: int,
+    quality_min_milli: int,
+    nll_max_micro: int,
+    out_dir: str,
+    checkpoint_dir: str,
+    rep_thresholds_milli: dict | None = None,
+    group_col: str = "lang",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Hygiene-manifest partials over a live documents stream — the
+    monitoring shape for an ingest pipeline: rule parameters are pinned
+    build-time artifacts, the corpus streams, and the finalizer's
+    per-group flag sums are associative across batches. Returns the
+    started query."""
+    stream = read_documents_stream(spark, input_dir, max_files_per_trigger)
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        write_hygiene_batch(
+            batch_df, batch_id, out_dir, uni_tab, oov_nll,
+            quality_min_milli, nll_max_micro, rep_thresholds_milli,
+            group_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_hygiene_report(
+    spark: SparkSession, out_dir: str, group_col: str = "lang"
+) -> DataFrame:
+    """Finalize the hygiene sink: per-group flag sums over the union of
+    all micro-batch per-doc manifests — row-for-row equal to batch
+    hygiene_report with the same pinned parameters (pinned by pytest)."""
+    from pyspark.sql import functions as F
+
+    m = spark.read.parquet(os.path.join(out_dir, HYGIENE_SINK))
+    return m.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("rep_flag").cast("long")).alias("n_rep"),
+        F.sum(F.col("quality_flag").cast("long")).alias("n_quality"),
+        F.sum(F.col("fluency_flag").cast("long")).alias("n_fluency"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
 DIVERSITY_COUNTS_SINK = "diversity_counts"
 DIVERSITY_DIGESTS_SINK = "diversity_digests"
 

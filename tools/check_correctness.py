@@ -29,6 +29,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # corpus-dependent lazy oracles (IVF centroids, LM/BPE reference
+    # tables) derive their embedded constants from the gate's own input;
+    # pin them to THIS run's SF or a non-default sf_dir silently compares
+    # a sf0.01-derived oracle against sf0.001 Spark output
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as e
     from otel_logger_spark.session import get_spark

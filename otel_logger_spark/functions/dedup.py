@@ -158,27 +158,70 @@ def ngram_jaccard_pairs(
     oracle-checked gate). Returns (doc_a, doc_b, n_common, n_a, n_b,
     j_milli) with j_milli = floor(1000 * jaccard).
     """
-    sh = exploded_shingles(df, n, id_col)
+    m = int(threshold * 1000)
+    # Round-9 shape (the source_overlap lesson applied to doc pairs; output
+    # row-for-row identical, oracle-checked):
+    # - ONE shingling pass: the old self-join re-shingled the corpus per
+    #   join leg (the nondeterministic staging guard in with_shingles
+    #   defeats ReusedExchange by design), and a third time for the
+    #   separate `sizes` aggregate. Here the per-doc shingle count rides
+    #   the explode (size of the distinct array == exploded rows per doc),
+    #   and the per-shingle posting list is ONE groupBy — no join, no
+    #   second traversal.
+    # - the hot-shingle cap (max_df) becomes a free filter on the posting
+    #   list size instead of a separate count + broadcast anti-join pass.
+    # - pair expansion happens in a codegen projection over each posting
+    #   list, with the exact length-ratio prune applied in place: j_milli =
+    #   floor(1000*c/(n_a+n_b-c)) with c <= min(n_a, n_b) means j_milli >=
+    #   m is impossible unless 1000*min >= m*(n_a+n_b-min) — dropped pairs
+    #   could never pass the final threshold, so the prune is
+    #   output-neutral; it runs BEFORE the pair-count exchange, which gets
+    #   map-side partial aggregation (the old join shipped every raw
+    #   common-shingle row: 1.76M pre-aggregate rows for 1686 output pairs
+    #   at sf0.1).
+    # At 100 TB the posting list of a degenerate hot shingle is the same
+    # quadratic hazard the join shape had; max_df remains the mandatory
+    # guard and is now enforceable with zero extra passes.
+    sh = with_shingles(df, n).select(
+        F.col(id_col),
+        F.size("shingles").cast("long").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    posting = sh.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), "n_sh")).alias("ds")
+    )
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        posting = posting.filter(F.size("ds") <= max_df)
+    # all (a, b) with a.id < b.id passing the length bound, per shingle
+    pair_expr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x: F.filter(
+                F.transform(
+                    "ds",
+                    lambda y: F.struct(
+                        x["id"].alias("doc_a"),
+                        y["id"].alias("doc_b"),
+                        x["n_sh"].alias("n_a"),
+                        y["n_sh"].alias("n_b"),
+                    ),
+                ),
+                lambda p: (p["doc_a"] < p["doc_b"])
+                & (
+                    F.lit(1000) * F.least(p["n_a"], p["n_b"])
+                    >= F.lit(m)
+                    * (p["n_a"] + p["n_b"] - F.least(p["n_a"], p["n_b"]))
+                ),
+            ),
         )
+    )
+    common = (
+        posting.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        common.withColumn(
             "j_milli",
             F.floor(
                 F.lit(1000)
@@ -186,7 +229,7 @@ def ngram_jaccard_pairs(
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ),
         )
-        .filter(F.col("j_milli") >= int(threshold * 1000))
+        .filter(F.col("j_milli") >= m)
     )
     return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "j_milli")
 

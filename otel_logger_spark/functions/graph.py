@@ -69,18 +69,39 @@ def connected_components(
 
 
 def _label_propagation_cc(labels: DataFrame, sym: DataFrame, max_iter: int) -> DataFrame:
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    """Round-9 shape (same fixpoint, same output, fewer and smaller jobs):
+
+    - The loop runs over EDGE NODES ONLY (``sym.u`` distinct — symmetric, so
+      it covers every endpoint). A singleton's label never changes, so
+      propagating over the full node table only re-shuffles rows whose label
+      is already final; at 100 TB the edge-incident subset is orders of
+      magnitude smaller than the corpus. Singletons re-attach at the end via
+      one left join + coalesce (identical output, pytest-pinned).
+    - ``localCheckpoint(eager=False)``: the convergence ``count()`` is the
+      action that materializes the checkpoint, so each cycle is ONE Spark
+      job instead of two (eager-materialize + count).
+    - TWO propagation steps per convergence check: labels only decrease, so
+      "the last step changed nothing" IS the fixpoint regardless of what
+      earlier steps in the same cycle did — checking every step buys
+      nothing but an extra job per round. Total steps stay capped at
+      ``max_iter`` so non-convergence semantics are unchanged.
+    """
+    active = sym.select(F.col("u").alias("node")).distinct()
+    cur = active.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=False
+    )
+
+    def one_step(lbl: DataFrame) -> DataFrame:
         nbr = (
-            sym.join(labels, sym["u"] == labels["node"])
+            sym.join(lbl, sym["u"] == lbl["node"])
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
         # the fixpoint probe rides the SAME projection: a row changed iff a
         # neighbor offered a strictly smaller label (labels only decrease,
         # and '<' is type-agnostic — no numeric cast, unlike sum(label))
-        new = (
-            labels.alias("l")
+        return (
+            lbl.alias("l")
             .join(nbr.alias("n"), "node", "left")
             .select(
                 "node",
@@ -89,18 +110,34 @@ def _label_propagation_cc(labels: DataFrame, sym: DataFrame, max_iter: int) -> D
                 ).alias("label"),
                 (F.col("n.nbr_label") < F.col("l.label")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
-        n_changed = new.filter("_changed").count()  # local scan of the checkpoint
-        labels = new.drop("_changed")
+
+    steps_done = 0
+    converged = False
+    while steps_done < max_iter:
+        n_steps = min(2, max_iter - steps_done)
+        new = cur
+        for _ in range(n_steps):
+            new = one_step(new.drop("_changed") if "_changed" in new.columns else new)
+        new = new.localCheckpoint(eager=False)
+        # one job: materializes the checkpoint AND counts the last step's
+        # strict decreases (a zero here is the fixpoint certificate)
+        n_changed = new.filter("_changed").count()
+        cur = new.drop("_changed")
+        steps_done += n_steps
         if n_changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(adversarial diameter? use algorithm='two_phase')"
         )
-    return labels
+    return (
+        labels.select("node")
+        .join(cur.select("node", F.col("label").alias("_lbl")), "node", "left")
+        .select("node", F.coalesce("_lbl", "node").alias("label"))
+    )
 
 
 def _two_phase_cc(labels: DataFrame, sym: DataFrame, max_iter: int) -> DataFrame:

@@ -49,13 +49,30 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing merges post-shuffle partitions
+        # up to this floor; the 1m default turns a 13 MB shuffle into ~8
+        # tasks and idles 3/4 of a 32-core node on every small exchange
+        # (measured on the ngram pair-count stage: 8 tasks x 780 ms).
+        # 256k keeps small-but-CPU-heavy reduce stages at node parallelism;
+        # at cluster scale partitions are >= the advisory size anyway, so
+        # the floor is inert there. Env-overridable for deployments.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bounds pandas-UDF batch memory; mirrors the reference's bounded
         # batching (BatchProcessor, /root/reference/main.go:354-358).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode hosts driver AND every executor thread in one JVM:
+        # a 50-query bench session accumulates plans/broadcasts across
+        # passes, and allocation-heavy Arrow stages (audio/image decode)
+        # stall under old-gen pressure at 8g (the bench's late-pass
+        # audio_stats blowups). 16g on a 128 GiB box; env-overridable —
+        # a real cluster sizes driver/executor memory via spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

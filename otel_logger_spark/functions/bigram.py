@@ -144,12 +144,19 @@ def with_bigram_score(
     bo = backoff_nll(scale)
     words = F.split(F.col(text_col), " ")
     if len(uni_tab) + len(bi_tab) <= max_literal_k:
-        m_uni = F.create_map(
-            *[F.lit(x) for kv in sorted(uni_tab.items()) for x in kv]
+        # map_from_arrays over TWO list literals, not create_map over 2K
+        # scalar literals: one py4j call per array instead of one per
+        # entry (round 9; same map, same element_at lookups)
+        uni_items = sorted(uni_tab.items())
+        m_uni = F.map_from_arrays(
+            F.lit([k for k, _ in uni_items]),
+            F.lit([int(v) for _, v in uni_items]),
         )
+        bi_items = sorted(bi_tab.items())
         m_bi = (
-            F.create_map(
-                *[F.lit(x) for kv in sorted(bi_tab.items()) for x in kv]
+            F.map_from_arrays(
+                F.lit([k for k, _ in bi_items]),
+                F.lit([int(v) for _, v in bi_items]),
             )
             if bi_tab
             else None

@@ -88,13 +88,22 @@ def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFram
       materialized shingles column instead.
     Measured 5.4 -> ~3.9 s on the sf0.1 minhash gate; values unchanged
     (the guard is identity), every oracle still hash-matches."""
+    # concat_ws over n element_at lookups instead of a per-index slice():
+    # the slice form allocates an n-element array per shingle; the lookup
+    # form is bit-identical (same concat_ws over the same n in-bounds
+    # elements; split() never yields NULLs) and measured 1.6x faster on
+    # the sf0.1 shingling stage (round 9).
+    elems = ", ".join(
+        f"element_at(words, i + {j})" if j else "element_at(words, i)"
+        for j in range(n)
+    )
     shingle_expr = F.array_distinct(
         # NB: Spark's sequence(1, 0) yields a DESCENDING [1,0] — guard
         # short docs explicitly instead of clamping with greatest()
         F.expr(
             f"CASE WHEN size(words) >= {n} THEN "
             f"transform(sequence(1, size(words) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(words, i, {n})))"
+            f" i -> concat_ws(' ', {elems}))"
             f" ELSE array() END"
         )
     )

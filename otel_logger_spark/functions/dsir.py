@@ -141,6 +141,57 @@ def with_dsir_score(
     )
 
 
+def bucket_counts_within(
+    feat_df: DataFrame, target_flag: Column, n_buckets: int
+) -> tuple[list[int], list[int]]:
+    """(source_counts, target_counts) when the target corpus is a SUBSET
+    of the source selected by ``target_flag`` (the common "curated slice
+    of the same lake" deployment): ONE corpus traversal and ONE bounded
+    driver collect computes both vectors — the two-pass general path
+    scans the source lake twice for identical numbers. Values are
+    bit-identical to bucket_counts() on the two frames separately."""
+    rows = (
+        feat_df.select(
+            target_flag.alias("_t"), F.explode("feats").alias("b")
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_src"),
+            F.count(F.when(F.col("_t"), 1)).alias("c_tgt"),
+        )
+        .collect()
+    )
+    src = [0] * n_buckets
+    tgt = [0] * n_buckets
+    for r in rows:
+        src[r["b"]] = r["c_src"]
+        tgt[r["b"]] = r["c_tgt"]
+    return src, tgt
+
+
+def dsir_select_within(
+    source_df: DataFrame,
+    target_flag: Column,
+    k: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """dsir_select for a target that IS a flagged subset of the source:
+    identical output (same counts -> same lambdas -> same scores -> same
+    top-k), one corpus traversal instead of two for the count vectors."""
+    _check_buckets(n_buckets)
+    src = with_feature_buckets(source_df, n_buckets, text_col)
+    src_counts, tgt_counts = bucket_counts_within(src, target_flag, n_buckets)
+    lam = importance_weights(tgt_counts, src_counts)
+    return (
+        with_dsir_score(src, lam)
+        .drop("feats")
+        .orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def dsir_select(
     source_df: DataFrame,
     target_df: DataFrame,

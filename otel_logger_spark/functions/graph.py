@@ -50,10 +50,13 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
+    # no .distinct() here (round 9): min-label propagation is insensitive
+    # to duplicate edges, and _two_phase_cc canonicalizes with its own
+    # distinct — the shared one only added an exchange to the heaviest
+    # job (the checkpoint that materializes the whole pair pipeline)
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
-        .distinct()
         .localCheckpoint(eager=True)  # edges reused every round
     )
     if algorithm == "two_phase":
@@ -87,28 +90,31 @@ def _label_propagation_cc(labels: DataFrame, sym: DataFrame, max_iter: int) -> D
       ``max_iter`` so non-convergence semantics are unchanged.
     """
     active = sym.select(F.col("u").alias("node")).distinct()
+    # self-loop edges make each propagation step ONE join + ONE aggregate:
+    # a node's own label arrives through its (node, node) edge, so there
+    # is no per-step left-join back onto the previous labels, and the
+    # previous label is recoverable inside the same aggregate as
+    # min(label WHERE u == v) — the self-loop is the only row with u == v.
+    symx = sym.union(
+        active.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).localCheckpoint(eager=False)
     cur = active.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=False
     )
 
     def one_step(lbl: DataFrame) -> DataFrame:
-        nbr = (
-            sym.join(lbl, sym["u"] == lbl["node"])
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # the fixpoint probe rides the SAME projection: a row changed iff a
-        # neighbor offered a strictly smaller label (labels only decrease,
-        # and '<' is type-agnostic — no numeric cast, unlike sum(label))
+        # the fixpoint probe rides the SAME aggregate: a row changed iff a
+        # neighbor offered a strictly smaller label than the self-loop's
+        # (labels only decrease, and '<' is type-agnostic — no numeric
+        # cast, unlike sum(label))
         return (
-            lbl.alias("l")
-            .join(nbr.alias("n"), "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("l.label"), F.coalesce("n.nbr_label", "l.label")
-                ).alias("label"),
-                (F.col("n.nbr_label") < F.col("l.label")).alias("_changed"),
+            symx.join(lbl, symx["u"] == lbl["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("u") == F.col("v"), F.col("label"))
+                ).alias("_prev"),
             )
         )
 
@@ -118,12 +124,12 @@ def _label_propagation_cc(labels: DataFrame, sym: DataFrame, max_iter: int) -> D
         n_steps = min(2, max_iter - steps_done)
         new = cur
         for _ in range(n_steps):
-            new = one_step(new.drop("_changed") if "_changed" in new.columns else new)
+            new = one_step(new.select("node", "label"))
         new = new.localCheckpoint(eager=False)
         # one job: materializes the checkpoint AND counts the last step's
         # strict decreases (a zero here is the fixpoint certificate)
-        n_changed = new.filter("_changed").count()
-        cur = new.drop("_changed")
+        n_changed = new.filter(F.col("label") < F.col("_prev")).count()
+        cur = new.select("node", "label")
         steps_done += n_steps
         if n_changed == 0:
             converged = True

@@ -93,22 +93,27 @@ def _nearest_centroid_cols(vec_col: str, centroids: list[list[float]], n: int = 
     zip_with/aggregate fold, so distances — and therefore assignments
     and probe order — are bit-unchanged (the DuckDB oracle re-derives
     the same left-associated sums)."""
-    cents = F.array(*[
-        F.lit([float(v) for v in c]).cast("array<double>") for c in centroids
-    ])
-    dists = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            i.alias("cid"),
-        ),
+    # Round 9: ONE F.expr SQL string instead of the nested Python-lambda
+    # Column DSL. The DSL form cost ~0.5 s of py4j round trips PER CALL
+    # (two calls per ANN query — the dominant builder cost, measured);
+    # the parsed string is the IDENTICAL expression tree (same zip_with/
+    # aggregate fold, same struct sort order — verified 0 differing rows
+    # against the DSL form) built in one JVM call. Centroid doubles embed
+    # as CAST('<repr>' AS DOUBLE): repr() is shortest-roundtrip and
+    # Double.parseDouble is correctly rounded, so the literals are
+    # bit-identical to F.lit's.
+    rows = ", ".join(
+        "array("
+        + ", ".join(f"CAST('{repr(float(v))}' AS DOUBLE)" for v in c)
+        + ")"
+        for c in centroids
     )
-    ranked = F.slice(F.array_sort(dists), 1, n)
-    return F.transform(ranked, lambda s: s["cid"])
+    return F.expr(
+        f"transform(slice(array_sort(transform(array({rows}), (c, i) -> "
+        f"struct(aggregate(zip_with({vec_col}, c, (a, b) -> (a - b) * (a - b)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, i AS cid))), 1, {n}), "
+        "s -> s.cid)"
+    )
 
 
 def ivf_index(

@@ -133,8 +133,12 @@ def with_lm_score(
     silently compiling a 100k-literal plan). Both regimes are
     bit-identical: the fold and the probe sum the same integers."""
     if len(tab) <= max_literal_k:
-        m = F.create_map(
-            *[F.lit(x) for kv in sorted(tab.items()) for x in kv]
+        # map_from_arrays over TWO list literals, not create_map over 2K
+        # scalar literals: one py4j call per array instead of one per
+        # entry (round 9; same map, same element_at lookups)
+        items = sorted(tab.items())
+        m = F.map_from_arrays(
+            F.lit([k for k, _ in items]), F.lit([int(v) for _, v in items])
         )
         words = F.split(F.col(text_col), " ")
         total = F.aggregate(

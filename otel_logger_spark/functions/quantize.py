@@ -81,18 +81,22 @@ def quantize_expr(
     literals, the arithmetic a zip_with chain (never per-index element
     access, which inlines the producing expression per term — the
     documented projection-collapse trap)."""
-    mns = F.lit([mn for mn, _ in ranges]).cast("array<double>")
-    spans = F.lit(_spans(ranges)).cast("array<double>")
-    diffs = F.zip_with(
-        F.col(vec_col).cast("array<double>"), mns, lambda v, m: v - m
-    )
-    return F.zip_with(
-        diffs,
-        spans,
-        lambda d, s: F.greatest(
-            F.lit(0).cast("bigint"),
-            F.least(F.lit(255).cast("bigint"), F.floor(d * F.lit(255.0) / s)),
-        ).cast("int"),
+    # ONE F.expr SQL string (round 9, the ivf._nearest_centroid_cols
+    # lesson): the Python-lambda DSL form cost ~0.1 s of py4j round trips
+    # per call, two calls per ANN query. Identical expression tree —
+    # doubles embed as CAST('<repr>' AS DOUBLE) (shortest-roundtrip repr,
+    # correctly-rounded parse), and the in-plan constants keep explicit
+    # D/BIGINT types so nothing silently becomes decimal.
+    def dbl(v: float) -> str:
+        return f"CAST('{repr(float(v))}' AS DOUBLE)"
+
+    mns = ", ".join(dbl(mn) for mn, _ in ranges)
+    spans = ", ".join(dbl(s) for s in _spans(ranges))
+    return F.expr(
+        f"zip_with(zip_with(CAST({vec_col} AS array<double>), array({mns}), "
+        f"(v, m) -> v - m), array({spans}), (d, s) -> "
+        "CAST(greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT), "
+        "floor((d * 255.0D) / s))) AS INT))"
     )
 
 

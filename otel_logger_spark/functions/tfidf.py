@@ -91,13 +91,21 @@ def salient_terms(
     terms in more than max_df documents before scoring (stopword/skew
     guard — report exclusions via df_cap_report)."""
     tf = doc_term_freq(df, text_col, id_col)
-    dfreq = doc_freq(tf)
+    # dfreq as a COUNT window over tf's own term partitioning, not a
+    # groupBy(term) + join back (round 9): Catalyst has no cross-branch
+    # CSE, so the join form re-ran the whole explode+aggregate tf pass on
+    # each side — this computes tf once, with the identical (term) and
+    # (doc) exchanges the math needs and row-identical output (inner join
+    # on term == every tf row gets its term's count; the max_df filter
+    # drops the same rows either way).
+    tfd = tf.withColumn(
+        "dfreq", F.count("*").over(Window.partitionBy("term"))
+    )
     if max_df is not None:
-        dfreq = dfreq.filter(F.col("dfreq") <= max_df)
+        tfd = tfd.filter(F.col("dfreq") <= max_df)
     n = df.agg(F.countDistinct(id_col).alias("_n_docs"))
     scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
+        tfd.crossJoin(F.broadcast(n))
         .withColumn(
             "_idf_milli", F.expr("(1000L * _n_docs) div dfreq")
         )

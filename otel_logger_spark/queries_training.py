@@ -37,6 +37,20 @@ from otel_logger_spark.graftdata import corpus_cte, load_corpus
 # --- dedup -------------------------------------------------------------------
 
 
+def _corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus doc_ids WITHOUT the loader's fan-out repartition (round 9):
+    the id list only feeds connected_components' final singleton
+    re-attach join — no heavy projection ever runs on it, so the fan-out
+    exchange is pure overhead on this leg. Same rows as
+    load_corpus(...).select('doc_id')."""
+    from otel_logger_spark.graftdata import corpus_sql
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(corpus_sql()).select("doc_id")
+
+
 def q_dedup_exact_stats(spark, sf_dir):
     return exact_dedup_stats(load_corpus(spark, sf_dir))
 
@@ -160,7 +174,7 @@ def q_dedup_canonical(spark, sf_dir):
     corpus = load_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
     clusters = dedup_clusters(
-        corpus.select("doc_id"), pairs.select("doc_a", "doc_b")
+        _corpus_ids(spark, sf_dir), pairs.select("doc_a", "doc_b")
     )
     narrow = with_quality(corpus).select("doc_id", "source", "quality_milli")
     kept = canonical_keep(narrow, clusters)
@@ -596,14 +610,27 @@ def q_ann_ivf_quantized(spark, sf_dir):
     same assignment/probe cuts, the same per-dimension ranges and code
     arithmetic (quantize.py discipline), the same BIGINT distance
     fold."""
-    from otel_logger_spark.functions.ivf import ivf_quantized_topk
+    from concurrent.futures import ThreadPoolExecutor
+
+    from otel_logger_spark.functions.ivf import (
+        ivf_quantized_topk,
+        train_centroids,
+    )
     from otel_logger_spark.functions.quantize import measure_ranges
 
     emb = _load_embeddings(spark, sf_dir)
-    ranges = measure_ranges(emb)
+    # round 9: the two index-build driver round trips (per-dim ranges,
+    # Lloyd training sample) are independent jobs — overlap them so the
+    # second back-fills the first's straggler tail (guide §2.6 pattern);
+    # both values, and everything downstream, are unchanged.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ranges = pool.submit(measure_ranges, emb)
+        f_cents = pool.submit(train_centroids, emb, 16)
+        ranges, centroids = f_ranges.result(), f_cents.result()
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_quantized_topk(
-        emb, queries, ranges, k=5, n_clusters=16, n_probe=4
+        emb, queries, ranges, k=5, n_clusters=16, n_probe=4,
+        centroids=centroids,
     )
 
 
@@ -697,7 +724,7 @@ def q_leakage_split(spark, sf_dir):
     corpus = load_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
     clusters = dedup_clusters(
-        corpus.select("doc_id"), pairs.select("doc_a", "doc_b")
+        _corpus_ids(spark, sf_dir), pairs.select("doc_a", "doc_b")
     )
     return split_report(clusters, _SPLIT_RATIOS)
 
@@ -735,11 +762,13 @@ def q_dsir_select(spark, sf_dir):
     scores, deterministic top-100. The oracle re-derives tokenization,
     XXH64 bucketing, both count vectors, scoring and ranking in DuckDB
     (oracles_dsir.py); only the lambda formula is shared."""
-    from otel_logger_spark.functions.dsir import dsir_select
+    from otel_logger_spark.functions.dsir import dsir_select_within
 
+    # round 9: the gate's target IS the corpus's lang='en' slice, so the
+    # one-traversal subset path computes both count vectors in a single
+    # aggregate — bit-identical lambdas/scores (dsir.bucket_counts_within)
     corpus = load_corpus(spark, sf_dir)
-    target = corpus.filter(F.col("lang") == "en")
-    return dsir_select(corpus, target, k=100).select(
+    return dsir_select_within(corpus, F.col("lang") == "en", k=100).select(
         "doc_id", "dsir_score", "lang"
     )
 

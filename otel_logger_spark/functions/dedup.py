@@ -260,46 +260,36 @@ def minhash_signatures(
     (shingle-less docs are excluded either way: explode emitted no row,
     the filter here drops the empty array)."""
 
-    def _hash_with_seed(i: int):
-        # one-arg lambda on purpose: transform() passes (element, index)
-        # to two-arg lambdas, which would silently replace the seed
-        return lambda s: F.xxhash64(s, F.lit(i))
-
     sh = with_shingles(df, n).filter(F.size("shingles") > 0)
-    cols = [
-        F.array_min(F.transform("shingles", _hash_with_seed(i))).alias(f"h{i}")
+    # ONE F.expr SQL string for the whole k-fold signature (round 9): the
+    # per-seed Python-lambda transform built ~0.5 s of py4j round trips
+    # per query; the parsed string is the identical expression tree
+    # (xxhash64(shingle, seed) with an int literal seed, array_min fold)
+    # in one JVM call — bit-identical signatures, pytest-pinned.
+    mins = ", ".join(
+        f"array_min(transform(shingles, s -> xxhash64(s, {i})))"
         for i in range(k)
-    ]
-    return sh.select(id_col, *cols).select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
+    return sh.select(id_col, F.expr(f"array({mins})").alias("sig"))
 
 
 def _minhash_banded(
     sig: DataFrame, bands: int, rows: int, id_col: str
 ) -> DataFrame:
-    """One (id, band, bucket) row per band membership."""
+    """One (id, band, bucket) row per band membership. Built as one
+    F.expr string (round 9, same py4j-chatter fix as minhash_signatures;
+    sig[i] is 0-based in SQL exactly like Column.getItem)."""
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig[{b * rows + r}] AS STRING)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
     return sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        id_col, F.expr(f"explode(array({structs}))").alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
 

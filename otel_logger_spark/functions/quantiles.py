@@ -141,14 +141,17 @@ def exact_quantiles(
         )
         cells = (
             # (_v - _lo) div _w: exact integer division — double `/` +
-            # cast would lose precision past 2^53
+            # cast would lose precision past 2^53. Arrow toPandas, not
+            # collect(): the first round returns up to states*buckets
+            # cells and Row materialization was the dominant driver cost
+            # of the refinement loop (round 9); values are identical.
             hist.groupBy("_rid", F.expr("(_v - _lo) div _w").alias("_b"))
             .agg(F.count(F.lit(1)).alias("_c"))
-            .collect()
+            .toPandas()
         )
         by_rid: dict = {}
-        for r in cells:
-            by_rid.setdefault(r["_rid"], {})[int(r["_b"])] = int(r["_c"])
+        for rid_v, b_v, c_v in zip(cells["_rid"], cells["_b"], cells["_c"]):
+            by_rid.setdefault(int(rid_v), {})[int(b_v)] = int(c_v)
         for (grp, q), s in open_states.items():
             lo, hi, k = s
             rid = ranges[(grp, lo, hi)]

@@ -128,6 +128,7 @@ def quantized_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 4096,
 ) -> DataFrame:
     """Top-k neighbors per query under quantized L2 (self excluded):
     (query_id, neighbor_id, qdist, rank) — qdist integer-exact, rank by
@@ -135,9 +136,13 @@ def quantized_topk(
     never shuffles (TakeOrderedAndProject after the rank window).
 
     This is the brute-force REFERENCE ranking (every corpus row scored
-    per query — correct, small-Q contract); the scale path composes IVF
-    candidate pruning with the same codes, see ivf_quantized_topk."""
+    per query — correct, small-Q contract, and ``max_queries`` now
+    ENFORCES that contract in-plan, verdict r8 #6); the scale path
+    composes IVF candidate pruning with the same codes, see
+    ivf_quantized_topk."""
     from pyspark.sql import Window
+
+    from otel_logger_spark.functions.similarity import _cap_query_side
 
     c = with_quantized(corpus, ranges, vec_col, "_cq").select(
         F.col(id_col).alias("neighbor_id"), "_cq"
@@ -145,6 +150,8 @@ def quantized_topk(
     q = with_quantized(queries, ranges, vec_col, "_qq").select(
         F.col(id_col).alias("query_id"), "_qq"
     )
+    if max_queries is not None:
+        q = _cap_query_side(q, "query_id", max_queries, "quantized_topk")
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )

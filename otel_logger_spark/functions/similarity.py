@@ -31,16 +31,44 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
 
+def _cap_query_side(q: DataFrame, id_alias: str, max_queries: int, fn: str) -> DataFrame:
+    """Enforce the brute-force contract IN-PLAN (round 9, verdict #6):
+    these reference shapes score the FULL corpus per query row, so an
+    uncapped query side is the 100x hazard. The cap is an assert_true
+    routed through the query-id column (the tfidf/rate_spikes guard
+    pattern — non-removable, fails loudly), fed by a count window over
+    the query side only, which is broadcast-small by the same contract.
+    Results are unchanged whenever the contract holds."""
+    w = Window.partitionBy(F.lit(1))
+    guard = F.assert_true(
+        F.count(F.lit(1)).over(w) <= max_queries,
+        F.lit(
+            f"{fn}: query side exceeds max_queries={max_queries} — this "
+            "is the brute-force reference shape; use lsh_ann_topk / "
+            "ivf_quantized_topk for large query sets, or raise "
+            "max_queries explicitly"
+        ),
+    )
+    return q.withColumn(
+        id_alias, F.when(guard.isNull(), F.col(id_alias))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 4096,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self). Returns
     (query_id, neighbor_id, sim_micro, rank); sim_micro = floor(1e6*cosine)
-    so results hash identically across engines."""
+    so results hash identically across engines.
+
+    Brute-force REFERENCE shape: every corpus row is scored per query, so
+    ``max_queries`` (default 4096) is an enforced in-plan cap — the scale
+    paths are lsh_ann_topk / ivf_quantized_topk."""
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -51,6 +79,8 @@ def cosine_topk(
         F.col(vec_col).alias("_qv"),
         F.col("_norm").alias("_qn"),
     )
+    if max_queries is not None:
+        q = _cap_query_side(q, "query_id", max_queries, "cosine_topk")
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))

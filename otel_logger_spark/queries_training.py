@@ -1120,7 +1120,17 @@ def q_image_near_dup(spark, sf_dir):
     media = as_media(_load_documents(spark, sf_dir)).filter(
         F.col("kind") == "image"
     )
-    dec = decode_media(media).select("doc_id", "phash")
+    # round 9: checkpoint the decoded (id, phash) metadata — ~16 bytes/row
+    # — so the Python decode stage runs ONCE; without it the perturbation
+    # union and the banded self-join re-execute the mapInPandas decode on
+    # every leg (no cross-branch CSE). This is exactly the "production
+    # input is the already-materialized decoded-metadata table" shape the
+    # round-8 plan audit called for, expressed in-query.
+    dec = (
+        decode_media(media)
+        .select("doc_id", "phash")
+        .localCheckpoint(eager=False)
+    )
     pert = dec.filter(F.col("doc_id") % 24 == 0).select(
         (F.col("doc_id") + 30000).alias("doc_id"),
         F.expr(
@@ -1642,7 +1652,13 @@ def q_embedding_outliers(spark, sf_dir):
             F.slice("embedding", 9, 100000),
         ).alias("embedding"),
     )
-    return outlier_report(base.unionByName(pert))
+    # round 9: checkpoint the augmented frame once — outlier_report
+    # traverses its input twice (per-dim profile + per-vector distances),
+    # and without the barrier each traversal re-ran both scan legs, the
+    # perturbation projection and a fan-out repartition per leg
+    return outlier_report(
+        base.unionByName(pert).localCheckpoint(eager=False)
+    )
 
 
 O_EMBEDDING_OUTLIERS = """

@@ -30,51 +30,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # is a correctness decision: any query whose engine or oracle code changed
 # in the current round MUST sit inside that window, and only queries that
 # were driver-verified green on unchanged code in the previous round may
-# be deferred past it. GATE_DEFERRED is this round's explicit rotation —
-# every name in it was green in CORRECTNESS_r06.json and its code is
-# untouched in round 7. Rotate the list each round so no query goes more
-# than one round without driver verification.
+# be deferred past it. GATE_DEFERRED is this round's explicit rotation;
+# rotate the list each round so no query goes more than one round
+# without driver verification.
 GATE_DEFERRED: list[str] = [
-    # Round-8 rotation: ALL 17 round-7 deferrals are back inside the window
-    # (VERDICT r7 #3); the names below were driver-green in
-    # CORRECTNESS_r07.json and their engine + oracle code is untouched in
-    # round 8.
-    "dedup_exact_stats",
-    "dedup_drop_exact",
-    "minhash_pairs",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "doc_fingerprint",
-    "pii_redaction",
-    "pack_shards",
-    "doc_repetition",
-    "span_dedup",
-    "normalized_dedup",
-    "fixed_k_sample",
-    "log_templates",
-    "pivot_role_severity",
-    "asof_latest_signup",
-    "asof_next_purchase",
-    "range_click_incidents",
-    "sessionization",
-    "zorder_buckets",
-    # deferred mid-round-8 to make window room for the two NEW queries
-    # (temperature_mix, corpus_cartography): r7-green, engine
-    # (queries_extra.py) and oracle (oracles_hll.py) untouched in r8.
-    "approx_distinct",
-    # deferred late-round-8 to make window room for the NEW audio_stats
-    # and embedding_outliers queries: r7-green, engines
-    # (operators/funnel.py, functions/dsir.py) and oracles untouched
-    # in r8.
-    "funnel",
-    "dsir_select",
-    "leakage_split",
-    "source_overlap",
-    "token_mix",
-    "cms_counts",
-    "exact_percentiles",
-    "rate_spikes",
+    # Round-9 rotation (optimization round): ALL 29 round-8 deferrals are
+    # back inside the window (VERDICT r8 #1). Deferred instead are
+    # round-8-verified gates whose engine AND oracle code is untouched in
+    # round 9 — the optimization work concentrated in dedup.py, graph.py,
+    # ivf.py, quantize.py, similarity.py, lmscore.py, bigram.py,
+    # tfidf.py, dsir.py, quantiles.py and specific queries_training.py
+    # functions, so every gate on a touched module (or touched q_
+    # function) sits in the verified window — including bpe_merges/
+    # bpe_encode, whose ORACLE gained a deterministic ORDER BY this
+    # round; the parse/pipeline cluster, mixes and the text.py family
+    # are untouched (diff-checkable against ae9a086). All 29 below were
+    # green in
+    # CORRECTNESS_r08.json, and the full 79-gate set was re-verified
+    # green against the sf0.01 DuckDB oracle in this round's closing
+    # sweep (tools/check_correctness.py).
+    "parse_event_ts",
+    "parse_messages_attrs",
+    "level_precedence",
+    "multiline_entry_stats",
+    "route_sink_counts",
+    "conversation_rollup",
+    "window_turn_rollup",
+    "top_k_noisy",
+    "flush_window_counts",
+    "summary_union",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_rollup",
+    "distinct_users",
+    "freqcap",
+    "diversity",
+    "training_mix",
+    "weighted_sample",
+    "lang_id",
+    "decontam_split",
+    "snapshot_diff",
+    "vocab_oov",
+    "chunk_windows",
+    "parse_severity_counts",
+    "text_quality",
+    "contamination_profile",
+    "temperature_mix",
+    "median_gap",
+    "rollup_role_style",
 ]
 
 

@@ -1025,9 +1025,16 @@ def _o_bpe_word_counts(sf_dir: str) -> list[tuple[str, int]] | None:
         corpus_cte()
         + """
  , toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM corpus)
- SELECT word, COUNT(*) AS c FROM toks WHERE word <> '' GROUP BY 1"""
+ SELECT word, COUNT(*) AS c FROM toks WHERE word <> '' GROUP BY 1
+ ORDER BY word"""
     ).fetchall()
     con.close()
+    # ORDER BY word (round 9): DuckDB's parallel hash aggregate returns
+    # rows in a nondeterministic order, and _o_bpe_encode embeds this
+    # list as a VALUES table — the oracle SQL TEXT differed on every
+    # invocation (semantically identical, but hostile to any fingerprint
+    # over the oracle text). The merge loop is order-insensitive (total
+    # order over pair counts), so results are unchanged.
     return [(w, c) for w, c in counts]
 
 

@@ -61,6 +61,16 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffle/spill codec: zstd over the lz4 default — adopted from the
+        # round-9 interleaved A/B at 37M turns/local[8] (BENCH/
+        # AB_shuffle_codec.md): zstd legs 79.1-80.0s vs lz4 128.8-211.3s,
+        # identical sink rows. The conv_id exchange is the pipeline's
+        # bytes-per-row wall; the better ratio cuts shuffle-file I/O and
+        # stabilizes walls on contended disks. Env-overridable.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bounds pandas-UDF batch memory; mirrors the reference's bounded
         # batching (BatchProcessor, /root/reference/main.go:354-358).

@@ -333,6 +333,78 @@ COMMENT = {
         "per-group accounting aggregate shuffles, one tiny row per doc. "
         "N rules compose in the projection, not as N jobs over 100 TB. "
         "The gate plan's extra exchange is the loader fan-out."),
+    "dedup_canonical": (
+        "composed keep-list (round 9 shape): the visible plan consumes "
+        "the checkpointed edge-node CC labels (ExistingRDD) — the pair "
+        "pipeline and the label-propagation fixpoint ran behind that "
+        "barrier, with the pair expansion a single posting-list "
+        "traversal (map-side partial pair counts, length-bound prune "
+        "in-projection) and the loop shuffling only edge-incident "
+        "nodes. Here: ids LEFT JOIN labels (SMJ — the RDD side carries "
+        "no stats and both sides are corpus-scale at 100x, so SMJ is "
+        "the right default), quality broadcast onto it, ONE window for "
+        "the per-cluster argmax (cluster_size is pruned), one "
+        "aggregate. max_df remains the documented mandatory hot-shingle "
+        "cap at scale, now a free posting-size filter."),
+    "exact_percentiles": (
+        "iterative histogram refinement: each round is scan -> "
+        "broadcast the tiny open-range map -> one hash aggregate of "
+        "<= states*buckets cells; values never shuffle, the driver "
+        "holds bucket COUNTS only (Arrow toPandas). Rounds = "
+        "ceil(log_4096(domain)) = 3 for the ~5.6e8 micro domain — the "
+        "100 TB alternative is a full sort shuffle of every value; "
+        "from round 2 the BETWEEN predicates push to the parquet scan."),
+    "bpe_encode": (
+        "distributed word-count aggregate (one exchange, map-side "
+        "partials) -> bounded driver merge loop -> Arrow-batched "
+        "per-word encode fold; one tiny accounting row per doc crosses "
+        "the final aggregate exchange. The driver collect is the "
+        "word-vocabulary table every BPE trainer holds; capping it "
+        "(min_count/top-K under a total order) is the named round-10 "
+        "item — at web-corpus vocab sizes the cap is mandatory."),
+    "audio_stats": (
+        "mapInPandas WAV decode: iterator-form (codec constructed per "
+        "task, not per batch), Arrow-bounded batches, only (id, kind, "
+        "data) columns cross the Python boundary; valid headers take "
+        "the real stdlib/numpy codec, everything else the deterministic "
+        "fake through identical plumbing. No shuffle before the decode; "
+        "output is typed integers. At 100x the binary payloads stream "
+        "batch-by-batch — worker memory is bounded by the Arrow batch "
+        "size, not file count."),
+    "conversation_rollup": (
+        "ONE conv_id aggregate exchange with map-side partials over the "
+        "parse stage's output; the salted variant "
+        "(conversation_metrics_salted below) is the documented "
+        "hot-conversation escape hatch."),
+    "doc_repetition": (
+        "Gopher-style repetition metrics: pure codegen array/string "
+        "expressions over the scan (line splits, n-gram folds) + one "
+        "tiny aggregate — zero Python, zero extra exchange; text never "
+        "shuffles."),
+    "text_quality": (
+        "quality features are length/replace/regexp codegen over the "
+        "fanned-out scan + one aggregate exchange on the report key; "
+        "stopword occurrences use the replace-length identity (engine-"
+        "portable, no regex per marker)."),
+    "multiline_entry_stats": (
+        "coalescer as ONE conv_id window exchange (lag/sum inside "
+        "codegen) + the entry aggregate; the round-9 AQE minPartitionSize "
+        "floor keeps the window stage at node parallelism at bench "
+        "scale (it was coalesced to ~8 tasks)."),
+    "pricing_summary": (
+        "TPC-H Q1 shape: scan with pushed date filter -> map-side "
+        "partial aggregate -> one 6-key exchange; purely "
+        "bandwidth-bound at any scale."),
+    "window_turn_rollup": (
+        "running-sum/lag/rank windows share ONE conv_id exchange (same "
+        "partitioning, one sort); no second shuffle for the rollup."),
+    "full_pipeline_metrics": (
+        "the bench flagship's aggregation side: conversation_metrics "
+        "over the routed frame — the parse/coalesce/enrich chain is the "
+        "same single conv_id exchange as full_pipeline_routed, and the "
+        "metrics add one map-side-combined aggregate; sink fan-out "
+        "writes per route reuse the same staged frame (staged "
+        "single-pass, no per-sink recompute)."),
     "conversation_metrics_salted": (
         "the extreme-skew path (operators/skew.py): phase 1 groups by "
         "(conv_id, salt) so a hot conversation fans out over S tasks, "
@@ -477,6 +549,30 @@ def main():
     from otel_logger_spark.queries_training import q_hygiene_manifest
 
     dfs["hygiene_manifest"] = q_hygiene_manifest(spark, sf_dir)
+    # round 9 (verdict r8 #3): the 11 bench queries that had no audit entry
+    from otel_logger_spark.operators.rollups import conversation_metrics
+    from otel_logger_spark.queries_extra import q_exact_percentiles
+    from otel_logger_spark.queries_training import (
+        q_audio_stats,
+        q_bpe_encode,
+        q_dedup_canonical,
+        q_doc_repetition,
+        q_text_quality,
+    )
+
+    dfs["dedup_canonical"] = q_dedup_canonical(spark, sf_dir)
+    dfs["exact_percentiles"] = q_exact_percentiles(spark, sf_dir)
+    dfs["bpe_encode"] = q_bpe_encode(spark, sf_dir)
+    dfs["audio_stats"] = q_audio_stats(spark, sf_dir)
+    dfs["conversation_rollup"] = Q.q_conversation_rollup(spark, sf_dir)
+    dfs["doc_repetition"] = q_doc_repetition(spark, sf_dir)
+    dfs["text_quality"] = q_text_quality(spark, sf_dir)
+    dfs["multiline_entry_stats"] = Q.q_multiline_entry_stats(spark, sf_dir)
+    dfs["pricing_summary"] = Q.q_pricing_summary(spark, sf_dir)
+    dfs["window_turn_rollup"] = Q.q_window_turn_rollup(spark, sf_dir)
+    dfs["full_pipeline_metrics"] = conversation_metrics(
+        Q._routed(spark, sf_dir)
+    )
     dfs["conversation_metrics_salted"] = conversation_metrics_salted(
         Q._routed(spark, sf_dir)
     )

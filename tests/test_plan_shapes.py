@@ -75,8 +75,11 @@ def test_embedding_topk_corpus_never_shuffles(shapes):
     assert "SortMergeJoin" not in s["joins"]
     assert "ShuffledHashJoin" not in s["joins"]
     # rank-window key + the loader fan-out appearing on both derived
-    # sides of the self-referential corpus/query split
-    assert s["exchanges"] <= 3
+    # sides of the self-referential corpus/query split + (round 9) the
+    # enforced max_queries cap's count window on the QUERY side — the
+    # broadcast-small side by the same contract; the corpus side still
+    # never exchanges (join assertions above)
+    assert s["exchanges"] <= 4
     assert s["python_stages"] == 0
 
 

@@ -196,33 +196,26 @@ def ngram_jaccard_pairs(
         F.size("shingles").cast("long").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
+    # posting lists SORTED by (id, n_sh): ids are unique per shingle
+    # (distinct shingles per doc), so the upper-triangle expansion below
+    # yields exactly the a < b pairs with no ordering filter
     posting = sh.groupBy("shingle").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("id"), "n_sh")).alias("ds")
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "n_sh"))
+        ).alias("ds")
     )
     if max_df is not None:
         posting = posting.filter(F.size("ds") <= max_df)
-    # all (a, b) with a.id < b.id passing the length bound, per shingle
-    pair_expr = F.flatten(
-        F.transform(
-            "ds",
-            lambda x: F.filter(
-                F.transform(
-                    "ds",
-                    lambda y: F.struct(
-                        x["id"].alias("doc_a"),
-                        y["id"].alias("doc_b"),
-                        x["n_sh"].alias("n_a"),
-                        y["n_sh"].alias("n_b"),
-                    ),
-                ),
-                lambda p: (p["doc_a"] < p["doc_b"])
-                & (
-                    F.lit(1000) * F.least(p["n_a"], p["n_b"])
-                    >= F.lit(m)
-                    * (p["n_a"] + p["n_b"] - F.least(p["n_a"], p["n_b"]))
-                ),
-            ),
-        )
+    # upper triangle only (round 9): each x pairs with its suffix — half
+    # the struct materialization of the all-ordered-pairs + a<b form,
+    # and the only residual filter is the exact length bound
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "filter(transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
+        "named_struct('doc_a', x.id, 'doc_b', y.id, "
+        "'n_a', x.n_sh, 'n_b', y.n_sh)), "
+        f"p -> 1000 * least(p.n_a, p.n_b) >= {m} * "
+        "(p.n_a + p.n_b - least(p.n_a, p.n_b)))))"
     )
     common = (
         posting.select(F.explode(pair_expr).alias("p"))
